@@ -1,0 +1,20 @@
+"""jpegtpu — a TPU-native baseline JPEG encode engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+strbac-damjan/jpeg-image-compression (BMP in -> baseline JFIF out), built
+for TPU: the 8x8 block pipeline (level shift, 2D DCT as batched MXU
+matmuls, quantization, zigzag, RLE, Huffman bit packing) runs over
+thousands of blocks at once, sharded across chips via jax.sharding with
+restart-marker stream stitching.
+"""
+from .config import EncodeConfig
+from .pipeline import encode_file, encode_grayscale, grayscale_coefficients
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EncodeConfig",
+    "encode_file",
+    "encode_grayscale",
+    "grayscale_coefficients",
+]

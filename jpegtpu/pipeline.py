@@ -1,0 +1,97 @@
+"""End-to-end encode orchestration.
+
+Boundary layout mirrors the reference's host/device split (SURVEY.md §3.5):
+host does container I/O and JFIF assembly (the A72's role in the DSP port,
+dsp_port/jpeg_client/main.c); the TPU does everything from color conversion
+through zigzag (and, via entropy.device, symbolization + bit packing).
+
+The device transform is jitted once per (padded shape, quality, mode) and
+cached.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables
+from .config import EncodeConfig
+from .io import bmp, jfif
+from .entropy import host as entropy_host
+from .ops import blocks, color, dct, quant, zigzag
+
+
+@functools.lru_cache(maxsize=64)
+def _transform_gray(ph: int, pw: int, quality: int, bitexact: bool, is_rgb: bool):
+    """Jitted device transform: padded image -> [nb, 64] zigzag levels."""
+    cfg = EncodeConfig(quality=quality, bitexact=bitexact)
+    basis = jnp.asarray(cfg.dct_basis())
+    qtable = jnp.asarray(cfg.luma_quant.astype(np.float32))
+
+    @jax.jit
+    def fn(img):
+        if is_rgb:
+            y = color.rgb_to_y_reference(img)
+        else:
+            y = img
+        centered = color.level_shift(y)
+        b = blocks.blockify(centered)
+        coeffs = dct.dct_blocks(b, basis)
+        levels = quant.quantize(coeffs, qtable)
+        return zigzag.zigzag_scan(levels)
+
+    return fn
+
+
+def grayscale_coefficients(
+    image: np.ndarray, config: EncodeConfig
+) -> np.ndarray:
+    """Run the device transform for a grayscale encode.
+
+    image: uint8 [H, W] luma or [H, W, 3] RGB.
+    Returns zigzag levels [nb, 64] int32 (blocks in raster order).
+    """
+    is_rgb = image.ndim == 3
+    h, w = image.shape[:2]
+    ph, pw = blocks.padded_dims(h, w)
+    # Pad on host (cheap, avoids a second jit cache axis on exact dims).
+    if (ph, pw) != (h, w):
+        pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
+        image = np.pad(image, pad, mode="edge")
+    fn = _transform_gray(ph, pw, config.quality, config.bitexact, is_rgb)
+    return np.asarray(fn(jnp.asarray(image)))
+
+
+def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> bytes:
+    """Encode an image (uint8 [H, W] or [H, W, 3] RGB) as a baseline
+    grayscale JFIF byte string — the reference's capability
+    (natural_c saveJPEGGrayscale, jpeg_handler.c:119-282)."""
+    config = config or EncodeConfig()
+    h, w = image.shape[:2]
+    zz = grayscale_coefficients(image, config)
+    if config.restart_interval:
+        seg_ids = np.arange(zz.shape[0]) // config.restart_interval
+        segments = entropy_host.encode_scan(
+            zz, segment_ids=seg_ids, pad_ones=config.pad_ones
+        )
+    else:
+        segments = entropy_host.encode_scan(zz, pad_ones=config.pad_ones)
+    return jfif.assemble(w, h, config, segments)
+
+
+def encode_file(input_path: str, output_path: str, config: EncodeConfig | None = None) -> int:
+    """BMP in, JPEG out (the reference CLI's contract, natural_c main.c:4-35).
+    Returns the number of bytes written."""
+    rgb = bmp.read(input_path)
+    config = config or EncodeConfig()
+    if config.subsampling == "gray":
+        data = encode_grayscale(rgb, config)
+    else:
+        from . import color_pipeline  # deferred: heavier path
+
+        data = color_pipeline.encode_color(rgb, config)
+    with open(output_path, "wb") as f:
+        f.write(data)
+    return len(data)
