@@ -5,7 +5,12 @@ import time. Multi-chip sharding tests simulate a pod slice on these
 virtual devices (SURVEY.md §4 implication (e))."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard-set: the session env exports axon
+# Persistent compile cache: the large-image pipeline jits are identical across
+# runs; caching cuts cold pytest wall time from minutes to seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
