@@ -1,0 +1,93 @@
+"""Benchmark: end-to-end grayscale JPEG encode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md §throughput): the reference's best DSP build encodes
+grad.bmp (3024x4032 = 12.19 MPix) in ~169.5M C7x cycles ~= 72 MPix/s at
+1 GHz. This bench encodes the same pixel count (synthetic gradient+noise
+content, since assets/input/grad.bmp is stripped from the mount) through
+the full device pipeline — level shift, MXU DCT, quantization, zigzag,
+RLE symbolization, Huffman packing, byte stuffing on-device — plus the
+host-side transfer of compressed bytes and JFIF assembly.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+BASELINE_MPIX_S = 72.0
+
+
+def make_image(h: int, w: int):
+    """Photographic-complexity synthetic: smooth gradient + structured
+    texture + noise (roughly matches the report's grad.bmp regime)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = (xx + yy) * (255.0 / (h + w))
+    tex = 20.0 * np.sin(xx / 3.1) * np.cos(yy / 2.7)
+    noise = rng.normal(0, 6.0, (h, w))
+    return np.clip(grad + tex + noise, 0, 255).astype(np.uint8)
+
+
+def main():
+    import numpy as np
+
+    h, w = 3024, 4032
+    if len(sys.argv) >= 3:
+        h, w = int(sys.argv[1]), int(sys.argv[2])
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+
+    import jax.numpy as jnp
+
+    from jpegtpu import pipeline
+    from jpegtpu.config import EncodeConfig
+    from jpegtpu.io import jfif
+    from jpegtpu.ops import blocks
+
+    img = make_image(h, w)
+    cfg = EncodeConfig()
+    ph, pw = blocks.padded_dims(h, w)
+    fn = pipeline._encode_gray_device(
+        ph, pw, cfg.quality, cfg.bitexact, False, cfg.pad_ones,
+        cfg.capacity_words_per_block,
+    )
+
+    img_dev = jnp.asarray(img)
+    # Warmup: compile + first run; also sanity-check no capacity overflow.
+    buf, nbytes, overflow = fn(img_dev)
+    assert not bool(overflow), "capacity overflow in bench image"
+    data = jfif.assemble(w, h, cfg, [np.asarray(buf)[: int(nbytes)].tobytes()])
+    assert data[:2] == b"\xff\xd8"
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        buf, nbytes, overflow = fn(img_dev)
+        seg = np.asarray(buf)[: int(nbytes)].tobytes()
+        jfif.assemble(w, h, cfg, [seg])
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    mpix_s = (h * w) / best / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "grayscale_encode_throughput",
+                "value": round(mpix_s, 2),
+                "unit": "MPix/s",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

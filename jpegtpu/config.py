@@ -31,6 +31,13 @@ class EncodeConfig:
         quantized coefficients bit-match natural_c (tables.dct_basis_reference);
         otherwise use the true orthonormal basis.
       dct_dtype: accumulation dtype for the DCT matmuls.
+      entropy: "device" runs RLE+Huffman+bit packing on TPU (entropy.device)
+        so only compressed bytes cross the host boundary; "host" uses the
+        vectorized numpy coder (entropy.host).
+      capacity_words_per_block: static per-block output capacity (uint32
+        words) for the device packer. The default (8 words = 4 bpp) covers
+        photographic content with wide margin; overflow is detected and the
+        encode transparently retried at the worst-case bound.
     """
 
     quality: int = 50
@@ -39,12 +46,16 @@ class EncodeConfig:
     pad_ones: bool = True
     bitexact: bool = True
     dct_dtype: str = "float32"
+    entropy: str = "device"
+    capacity_words_per_block: int = 8
 
     def __post_init__(self):
         if not 1 <= self.quality <= 100:
             raise ValueError(f"quality must be in [1, 100], got {self.quality}")
         if self.subsampling not in ("gray", "420", "444"):
             raise ValueError(f"unknown subsampling {self.subsampling!r}")
+        if self.entropy not in ("device", "host"):
+            raise ValueError(f"unknown entropy backend {self.entropy!r}")
 
     @property
     def luma_quant(self) -> np.ndarray:

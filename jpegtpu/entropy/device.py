@@ -1,0 +1,266 @@
+"""On-device entropy coder: RLE symbolization + Huffman bit packing in JAX.
+
+The reference's entropy tail is serial scalar code (natural_c rle.c:51-131,
+huffman.c:121-192; DSP rle.c:50-199, huffman.c:190-260 — a 64-bit
+accumulator BitWriter). On TPU both stages are reformulated as dense,
+fixed-shape tensor ops so the whole encode — pixels to stuffed entropy
+bytes — runs on device and only the final compressed bytes cross the host
+boundary (SURVEY.md §7.1 step 3).
+
+Design:
+  * Symbolization is per-lane slot assignment. Each 8x8 block maps to a
+    fixed [65, 3] slot grid: lane 0 carries the DC code, lanes 1..63 carry
+    up to two ZRL sub-slots plus the (run,size)+amplitude code of that AC
+    lane, lane 64 carries the EOB. Every slot value fits 32 bits (max
+    26 = 16-bit Huffman code + 10 amplitude bits; a ZRL pair is 22).
+    Empty slots have length 0 and vanish in the bit-offset prefix sum, so
+    no compaction / ragged shapes are ever materialized (SURVEY.md §7.4 #4).
+  * Bit packing is an exclusive cumsum of slot bit lengths (every slot then
+    knows its absolute bit offset) followed by a scatter-add of each slot's
+    one-or-two 32-bit word contributions. Contributions are bit-disjoint,
+    so add == bitwise-or. Byte stuffing (0xFF -> 0xFF 00) is a second
+    prefix-sum + scatter pass.
+
+Everything is shape-static under jit; the only dynamic quantity is the
+returned byte count.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..ops.scan import cumsum_1d
+
+_ZRL = 0xF0
+_EOB = 0x00
+
+# Worst-case entropy bits for one 8x8 block (SURVEY.md §7.4 capacity note):
+# DC <= 9-bit code + 11 amplitude bits; 63 AC lanes <= 16 + 10 each;
+# <= 3 ZRLs of 11 bits; EOB 4. Rounded up to a word multiple.
+MAX_BITS_PER_BLOCK = 20 + 63 * 26 + 3 * 11 + 4  # = 1695
+MAX_WORDS_PER_BLOCK = (MAX_BITS_PER_BLOCK + 31) // 32  # = 53
+
+
+@functools.lru_cache(maxsize=None)
+def _host_luts():
+    """Huffman (codes, lengths) LUTs stacked [table, symbol] as NUMPY.
+
+    table 0 = luminance, 1 = chrominance. Kept numpy (not jnp) so the
+    lru_cache never captures trace-time values — each trace embeds its own
+    constant (jax UnexpectedTracerError otherwise).
+    """
+    luts = tables.huffman_luts()
+    dc_codes = np.stack([luts["dc_lum"][0][:16], luts["dc_chrom"][0][:16]])
+    dc_lens = np.stack([luts["dc_lum"][1][:16], luts["dc_chrom"][1][:16]])
+    ac_codes = np.stack([luts["ac_lum"][0], luts["ac_chrom"][0]])
+    ac_lens = np.stack([luts["ac_lum"][1], luts["ac_chrom"][1]])
+    return (
+        dc_codes.astype(np.uint32),
+        dc_lens.astype(np.int32),
+        ac_codes.astype(np.uint32),
+        ac_lens.astype(np.int32),
+    )
+
+
+def _device_luts():
+    return tuple(jnp.asarray(a) for a in _host_luts())
+
+
+def magnitude_category(v: jnp.ndarray) -> jnp.ndarray:
+    """JPEG size category = bit length of |v| (rle.c:9-22), via count-
+    leading-zeros — the DSP port's __norm trick (dsp rle.c:10-19)."""
+    mag = jnp.abs(v).astype(jnp.int32)
+    return (32 - jax.lax.clz(mag)).astype(jnp.int32)
+
+
+def amplitude_code(v: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
+    """Amplitude bits: v if v > 0 else v - 1, masked to `size` bits
+    (rle.c:24-35)."""
+    raw = jnp.where(v > 0, v, v - 1).astype(jnp.int32)
+    mask = (jnp.uint32(1) << size.astype(jnp.uint32)) - 1
+    return raw.astype(jnp.uint32) & mask
+
+
+def dc_differences(dc: jnp.ndarray, seg_len: int) -> jnp.ndarray:
+    """DC difference along scan order with the predictor reset at each
+    restart-segment start (T.81 F.1.2.3). seg_len=0 -> single chain, the
+    reference's global lastDC (rle.c:59-70)."""
+    nb = dc.shape[0]
+    prev = jnp.concatenate([jnp.zeros((1,), dc.dtype), dc[:-1]])
+    if seg_len:
+        idx = jnp.arange(nb)
+        prev = jnp.where(idx % seg_len == 0, 0, prev)
+    return dc - prev
+
+
+def symbolize_slots(
+    zz: jnp.ndarray,
+    table_sel: jnp.ndarray | int = 0,
+    dc_diff: jnp.ndarray | None = None,
+    seg_len: int = 0,
+):
+    """[nb, 64] zigzag levels -> per-slot (values u32, lengths i32) of shape
+    [nb, 65, 3], in exact reference emission order (rle.c:84-123).
+
+    Slot layout per lane: [:, :, 0] = first+second ZRL, [:, :, 1] = third
+    ZRL, [:, :, 2] = the coded symbol (DC at lane 0, AC elsewhere, EOB at
+    lane 64). table_sel selects luminance (0) / chrominance (1) tables per
+    block. dc_diff overrides the internally computed running difference
+    (used by interleaved color scans where the chain runs per component).
+    """
+    zz = zz.astype(jnp.int32)
+    nb = zz.shape[0]
+    dc_codes, dc_lens, ac_codes, ac_lens = _device_luts()
+    tsel = jnp.broadcast_to(jnp.asarray(table_sel, jnp.int32), (nb,))
+
+    # --- DC ---
+    if dc_diff is None:
+        dc_diff = dc_differences(zz[:, 0], seg_len)
+    dc_size = magnitude_category(dc_diff)
+    dc_amp = amplitude_code(dc_diff, dc_size)
+    dch = dc_codes[tsel, dc_size]
+    dchl = dc_lens[tsel, dc_size]
+    dc_val = (dch << dc_size.astype(jnp.uint32)) | dc_amp
+    dc_len = dchl + dc_size
+
+    # --- AC lanes 1..63 ---
+    ac = zz[:, 1:]
+    lanes = jnp.arange(1, 64)
+    nz = ac != 0
+    pos = jnp.where(nz, lanes[None, :], 0)
+    # previous nonzero lane before k (DC counts as lane 0)
+    prev = jax.lax.cummax(
+        jnp.concatenate([jnp.zeros((nb, 1), jnp.int32), pos], axis=1), axis=1
+    )[:, :-1]
+    run = lanes[None, :] - prev - 1
+    zrl_cnt = jnp.where(nz, run >> 4, 0)  # 0..3
+    rem = jnp.where(nz, run & 15, 0)
+    ac_size = magnitude_category(ac)
+    sym = jnp.where(nz, (rem << 4) | ac_size, 0)
+    ac_amp = amplitude_code(ac, ac_size)
+    ach = ac_codes[tsel[:, None], sym]
+    achl = jnp.where(nz, ac_lens[tsel[:, None], sym], 0)
+    ac_val = (ach << ac_size.astype(jnp.uint32)) | ac_amp
+    ac_len = achl + jnp.where(nz, ac_size, 0)
+
+    zrl_code = ac_codes[tsel, _ZRL].astype(jnp.uint32)  # [nb]
+    zrl_len = ac_lens[tsel, _ZRL]
+    # ZRL sub-slot A: one or two ZRLs; sub-slot B: the third.
+    n_a = jnp.minimum(zrl_cnt, 2)
+    zc, zl = zrl_code[:, None], zrl_len[:, None]
+    val_a = jnp.where(n_a == 2, (zc << zl.astype(jnp.uint32)) | zc, zc)
+    len_a = n_a * zl
+    val_b = zc
+    len_b = jnp.where(zrl_cnt == 3, zl, 0)
+
+    # --- EOB ---
+    last_nz = jnp.max(pos, axis=1)
+    eob = last_nz < 63
+    eob_val = ac_codes[tsel, _EOB]
+    eob_len = jnp.where(eob, ac_lens[tsel, _EOB], 0)
+
+    values = jnp.zeros((nb, 65, 3), jnp.uint32)
+    lengths = jnp.zeros((nb, 65, 3), jnp.int32)
+    values = values.at[:, 0, 2].set(dc_val)
+    lengths = lengths.at[:, 0, 2].set(dc_len)
+    values = values.at[:, 1:64, 0].set(val_a)
+    lengths = lengths.at[:, 1:64, 0].set(len_a)
+    values = values.at[:, 1:64, 1].set(val_b)
+    lengths = lengths.at[:, 1:64, 1].set(len_b)
+    values = values.at[:, 1:64, 2].set(ac_val)
+    lengths = lengths.at[:, 1:64, 2].set(ac_len)
+    values = values.at[:, 64, 2].set(eob_val)
+    lengths = lengths.at[:, 64, 2].set(eob_len)
+    return values, lengths
+
+
+def pack_bits_device(values: jnp.ndarray, lengths: jnp.ndarray, capacity_words: int,
+                     pad_ones: bool = True):
+    """Concatenate variable-length codes MSB-first into a uint32 word
+    stream — the parallel form of the reference's BitWriter (huffman.c:35-62).
+
+    values/lengths: flat [S] uint32 / int32 (length 0 slots allowed).
+    capacity_words: static output capacity.
+    Returns (words u32 [capacity_words], total_bits i32) where total_bits
+    includes the final 1s (or 0s) padding to a byte boundary.
+    """
+    values = values.reshape(-1)
+    lengths = lengths.reshape(-1)
+    ends = cumsum_1d(lengths)
+    total = ends[-1] if lengths.size else jnp.int32(0)
+    offsets = ends - lengths
+    # Final-byte padding as one extra virtual slot (dsp huffman.c:179-187).
+    padlen = (-total) % 8
+    padval = ((jnp.uint32(1) << padlen.astype(jnp.uint32)) - 1) if pad_ones else jnp.uint32(0)
+    values = jnp.concatenate([values, padval[None]])
+    lengths = jnp.concatenate([lengths, padlen[None]])
+    offsets = jnp.concatenate([offsets, total[None]])
+
+    w0 = offsets >> 5
+    r = offsets & 31
+    end = r + lengths  # 1..63
+    # Word w0 gets the slot's bits aligned to position r from the MSB.
+    sh_lo = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
+    sh_rt = jnp.clip(end - 32, 0, 31).astype(jnp.uint32)
+    part0 = jnp.where(end <= 32, values << sh_lo, values >> sh_rt)
+    sh_hi = jnp.clip(64 - end, 1, 31).astype(jnp.uint32)
+    part1 = jnp.where(end > 32, values << sh_hi, 0)
+    part0 = jnp.where(lengths > 0, part0, 0)
+    part1 = jnp.where(lengths > 0, part1, 0)
+
+    words = jnp.zeros((capacity_words + 1,), jnp.uint32)
+    words = words.at[w0].add(part0, indices_are_sorted=True, mode="drop")
+    words = words.at[w0 + 1].add(part1, indices_are_sorted=True, mode="drop")
+    return words[:capacity_words], total + padlen
+
+
+def stuff_bytes_device(words: jnp.ndarray, total_bits: jnp.ndarray):
+    """0xFF -> 0xFF 00 byte stuffing (huffman.c:26-32) as a prefix-sum
+    scatter. Returns (bytes u8 [2 * 4 * words], nbytes i32)."""
+    n = words.shape[0] * 4
+    sh = jnp.array([24, 16, 8, 0], jnp.uint32)
+    raw = ((words[:, None] >> sh[None, :]) & 0xFF).astype(jnp.uint8).reshape(-1)
+    nbytes = (total_bits + 7) >> 3
+    valid = jnp.arange(n) < nbytes
+    is_ff = (raw == 0xFF) & valid
+    cum_ff = cumsum_1d(is_ff.astype(jnp.int32))
+    dest = jnp.arange(n) + cum_ff - is_ff
+    out = jnp.zeros((2 * n,), jnp.uint8)
+    out = out.at[dest].add(
+        jnp.where(valid, raw, 0), indices_are_sorted=True, mode="drop"
+    )
+    return out, nbytes + jnp.sum(is_ff)
+
+
+def encode_scan_device(
+    zz: jnp.ndarray,
+    table_sel: jnp.ndarray | int = 0,
+    dc_diff: jnp.ndarray | None = None,
+    seg_len: int = 0,
+    capacity_words: int | None = None,
+    pad_ones: bool = True,
+):
+    """Full on-device entropy encode of one scan segment.
+
+    [nb, 64] zigzag levels -> (stuffed bytes u8 [cap], nbytes i32). The
+    caller slices to nbytes on host and splices between SOS and EOI.
+    seg_len only affects the DC predictor (callers produce one byte-aligned
+    output per restart segment by invoking this per segment / per shard).
+
+    Returns (bytes, nbytes, overflowed). capacity_words defaults to the
+    absolute worst case; callers may pass a tight heuristic capacity (the
+    stuffing pass cost scales with it) and must retry with the full bound
+    when `overflowed` comes back true — out-of-capacity words are dropped,
+    never written out of bounds.
+    """
+    nb = zz.shape[0]
+    if capacity_words is None:
+        capacity_words = nb * MAX_WORDS_PER_BLOCK
+    values, lengths = symbolize_slots(zz, table_sel, dc_diff, seg_len)
+    words, total_bits = pack_bits_device(values, lengths, capacity_words, pad_ones)
+    out, nbytes = stuff_bytes_device(words, total_bits)
+    return out, nbytes, total_bits > capacity_words * 32

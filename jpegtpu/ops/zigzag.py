@@ -10,14 +10,13 @@ import jax.numpy as jnp
 
 from .. import tables
 
-_ORDER = jnp.asarray(tables.ZIGZAG_ORDER)
-
-
 def zigzag_scan(blocks: jnp.ndarray) -> jnp.ndarray:
     """[..., 8, 8] -> [..., 64] coefficients in zigzag order
     (reference zigzag.c:21-65)."""
     flat = blocks.reshape(*blocks.shape[:-2], 64)
-    return flat[..., _ORDER]
+    # NB: the order constant stays numpy at module scope — a module-level
+    # jnp.asarray would initialize the default backend at import time.
+    return flat[..., jnp.asarray(tables.ZIGZAG_ORDER)]
 
 
 def inverse_zigzag(zz: jnp.ndarray) -> jnp.ndarray:

@@ -19,8 +19,19 @@ import numpy as np
 from . import tables
 from .config import EncodeConfig
 from .io import bmp, jfif
+from .entropy import device as entropy_device
 from .entropy import host as entropy_host
 from .ops import blocks, color, dct, quant, zigzag
+
+
+def _gray_levels(img, cfg: EncodeConfig, basis, qtable, is_rgb: bool):
+    """Traceable core: padded image -> [nb, 64] zigzag levels."""
+    y = color.rgb_to_y_reference(img) if is_rgb else img
+    centered = color.level_shift(y)
+    b = blocks.blockify(centered)
+    coeffs = dct.dct_blocks(b, basis)
+    levels = quant.quantize(coeffs, qtable)
+    return zigzag.zigzag_scan(levels)
 
 
 @functools.lru_cache(maxsize=64)
@@ -32,15 +43,37 @@ def _transform_gray(ph: int, pw: int, quality: int, bitexact: bool, is_rgb: bool
 
     @jax.jit
     def fn(img):
-        if is_rgb:
-            y = color.rgb_to_y_reference(img)
-        else:
-            y = img
-        centered = color.level_shift(y)
-        b = blocks.blockify(centered)
-        coeffs = dct.dct_blocks(b, basis)
-        levels = quant.quantize(coeffs, qtable)
-        return zigzag.zigzag_scan(levels)
+        return _gray_levels(img, cfg, basis, qtable, is_rgb)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_gray_device(
+    ph: int,
+    pw: int,
+    quality: int,
+    bitexact: bool,
+    is_rgb: bool,
+    pad_ones: bool,
+    cap_words_per_block: int,
+):
+    """Jitted full device encode: padded image -> (stuffed entropy bytes,
+    nbytes, overflowed). Transform and entropy coding compile into ONE
+    XLA program so intermediates never leave the device."""
+    cfg = EncodeConfig(quality=quality, bitexact=bitexact)
+    basis = jnp.asarray(cfg.dct_basis())
+    qtable = jnp.asarray(cfg.luma_quant.astype(np.float32))
+    nb = (ph // 8) * (pw // 8)
+
+    @jax.jit
+    def fn(img):
+        zz = _gray_levels(img, cfg, basis, qtable, is_rgb)
+        return entropy_device.encode_scan_device(
+            zz,
+            capacity_words=nb * cap_words_per_block,
+            pad_ones=pad_ones,
+        )
 
     return fn
 
@@ -67,9 +100,17 @@ def grayscale_coefficients(
 def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> bytes:
     """Encode an image (uint8 [H, W] or [H, W, 3] RGB) as a baseline
     grayscale JFIF byte string — the reference's capability
-    (natural_c saveJPEGGrayscale, jpeg_handler.c:119-282)."""
+    (natural_c saveJPEGGrayscale, jpeg_handler.c:119-282).
+
+    The default path runs the entire pipeline — transform AND entropy
+    coding — as one jitted XLA program; only the compressed bytes come
+    back to the host. Restart-marker streams currently use the host coder
+    (the multi-segment device path lives in jpegtpu.parallel)."""
     config = config or EncodeConfig()
     h, w = image.shape[:2]
+    if config.entropy == "device" and not config.restart_interval:
+        seg = _encode_segment_device(image, config)
+        return jfif.assemble(w, h, config, [seg])
     zz = grayscale_coefficients(image, config)
     if config.restart_interval:
         seg_ids = np.arange(zz.shape[0]) // config.restart_interval
@@ -79,6 +120,25 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     else:
         segments = entropy_host.encode_scan(zz, pad_ones=config.pad_ones)
     return jfif.assemble(w, h, config, segments)
+
+
+def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
+    """Single-segment fully-on-device encode with capacity-overflow retry."""
+    is_rgb = image.ndim == 3
+    h, w = image.shape[:2]
+    ph, pw = blocks.padded_dims(h, w)
+    if (ph, pw) != (h, w):
+        pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
+        image = np.pad(image, pad, mode="edge")
+    img_dev = jnp.asarray(image)
+    for cap in (config.capacity_words_per_block, entropy_device.MAX_WORDS_PER_BLOCK):
+        fn = _encode_gray_device(
+            ph, pw, config.quality, config.bitexact, is_rgb, config.pad_ones, cap
+        )
+        buf, nbytes, overflowed = fn(img_dev)
+        if not bool(overflowed):
+            return np.asarray(buf)[: int(nbytes)].tobytes()
+    raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
 
 def encode_file(input_path: str, output_path: str, config: EncodeConfig | None = None) -> int:

@@ -1,21 +1,28 @@
 """Test configuration: force a virtual 8-device CPU mesh.
 
-Must run before jax is imported anywhere — hence the env mutation at module
-import time. Multi-chip sharding tests simulate a pod slice on these
-virtual devices (SURVEY.md §4 implication (e))."""
+The container's sitecustomize registers the tunneled axon TPU backend into
+every interpreter and programmatically sets jax_platforms="axon,cpu" —
+which both overrides the JAX_PLATFORMS env var AND makes every eager op
+dispatch over the (slow, single-chip) tunnel. Tests must run on the local
+virtual 8-device CPU mesh (SURVEY.md §4 implication (e)), so this conftest
+updates the jax config directly, before any backend initializes.
+"""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # hard-set: the session env exports axon
-# Persistent compile cache: the large-image pipeline jits are identical across
-# runs; caching cuts cold pytest wall time from minutes to seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Persistent compile cache: the large-image pipeline jits are identical across
+# runs; caching cuts cold pytest wall time significantly.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
