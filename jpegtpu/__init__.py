@@ -16,5 +16,16 @@ __all__ = [
     "EncodeConfig",
     "encode_file",
     "encode_grayscale",
+    "encode_color",
     "grayscale_coefficients",
 ]
+
+
+def encode_color(image, config=None):
+    """RGB [H, W, 3] uint8 -> color baseline JFIF bytes (420/444).
+
+    Deferred import: the color layout tables only build when used.
+    """
+    from . import color_pipeline
+
+    return color_pipeline.encode_color(image, config)

@@ -1,0 +1,205 @@
+"""Color (YCbCr) baseline encode: 4:4:4 and 4:2:0 interleaved scans.
+
+A capability the reference lacks entirely — it discards chroma at
+conversion (natural_c converter.c:51 keeps only Y; SURVEY.md §2.1 "scope
+boundaries"). Built TPU-first: all three components' block transforms run
+as one batched MXU pipeline, and the interleaved-MCU scan order is a
+STATIC permutation (precomputed per shape, free gather under XLA) feeding
+the shared on-device entropy coder with per-block table selectors and
+per-component DC chains.
+
+Layout (T.81 A.2.3): for 4:2:0 one MCU = 4 Y blocks (2x2) + Cb + Cr;
+for 4:4:4 one MCU = Y + Cb + Cr. Components use luminance (id 0) /
+chrominance (id 1) quant + Huffman tables.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EncodeConfig
+from .entropy import device as entropy_device
+from .entropy import host as entropy_host
+from .io import jfif
+from .ops import blocks, color, dct, quant, zigzag
+
+
+def padded_dims_color(h: int, w: int, subsampling: str) -> tuple[int, int]:
+    m = 16 if subsampling == "420" else 8
+    return (-(-h // m) * m, -(-w // m) * m)
+
+
+@functools.lru_cache(maxsize=64)
+def _scan_layout(ph: int, pw: int, subsampling: str):
+    """Static interleave layout for a padded shape.
+
+    Returns numpy arrays over the scan's block slots:
+      gather_idx [nslots]: index into the concatenated per-component block
+        array [Y blocks (raster) | Cb blocks | Cr blocks],
+      table_sel [nslots]: 0 luma / 1 chroma,
+      comp_id [nslots]: 0/1/2 (distinct DC chains, T.81 F.1.1.5.1).
+    """
+    nbw_y, nbh_y = pw // 8, ph // 8
+    ny = nbh_y * nbw_y
+    if subsampling == "444":
+        nbh_c, nbw_c = nbh_y, nbw_y
+        nc = nbh_c * nbw_c
+        n_mcu = ny
+        slots = []
+        for m in range(n_mcu):
+            slots.append((m, 0, 0))
+            slots.append((ny + m, 1, 1))
+            slots.append((ny + nc + m, 1, 2))
+    elif subsampling == "420":
+        nbh_c, nbw_c = nbh_y // 2, nbw_y // 2
+        nc = nbh_c * nbw_c
+        slots = []
+        for my in range(nbh_c):
+            for mx in range(nbw_c):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        slots.append(((2 * my + dy) * nbw_y + 2 * mx + dx, 0, 0))
+                cidx = my * nbw_c + mx
+                slots.append((ny + cidx, 1, 1))
+                slots.append((ny + nc + cidx, 1, 2))
+    else:
+        raise ValueError(subsampling)
+    arr = np.asarray(slots, dtype=np.int64)
+    return arr[:, 0].copy(), arr[:, 1].astype(np.int32), arr[:, 2].copy()
+
+
+def _per_component_dc_diff(dc: jnp.ndarray, comp_id: np.ndarray) -> jnp.ndarray:
+    """DC differences where each component keeps its own predictor chain
+    along scan order. comp_id is STATIC, so the chains reduce to static
+    gather/scatter permutations — no sorting on device."""
+    diffs = jnp.zeros_like(dc)
+    for c in range(int(comp_id.max()) + 1):
+        sel = np.nonzero(comp_id == c)[0]  # static positions of chain c
+        seq = dc[sel]
+        prev = jnp.concatenate([jnp.zeros((1,), dc.dtype), seq[:-1]])
+        diffs = diffs.at[sel].set(seq - prev)
+    return diffs
+
+
+def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
+    """Padded RGB [PH, PW, 3] -> interleaved zigzag levels [nslots, 64]."""
+    ph, pw = img.shape[:2]
+    ycc = color.rgb_to_ycbcr(img)
+    y = ycc[..., 0]
+    cb, cr = ycc[..., 1], ycc[..., 2]
+    if cfg.subsampling == "420":
+        cb = color.subsample_420(cb)
+        cr = color.subsample_420(cr)
+
+    def component_levels(chan, qt):
+        b = blocks.blockify(color.level_shift(chan))
+        coeffs = dct.dct_blocks(b, basis)
+        return zigzag.zigzag_scan(quant.quantize(coeffs, qt))
+
+    zy = component_levels(y, qt_luma)
+    zcb = component_levels(cb, qt_chroma)
+    zcr = component_levels(cr, qt_chroma)
+    allz = jnp.concatenate([zy, zcb, zcr], axis=0)
+    gather_idx, _, _ = _scan_layout(ph, pw, cfg.subsampling)
+    return allz[jnp.asarray(gather_idx)]
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_color_device(
+    ph: int, pw: int, quality: int, bitexact: bool, pad_ones: bool,
+    subsampling: str, cap_words_per_block: int,
+):
+    """Jitted full color encode: padded RGB -> (bytes, nbytes, overflowed)."""
+    cfg = EncodeConfig(quality=quality, bitexact=bitexact, subsampling=subsampling)
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    gather_idx, table_sel, comp_id = _scan_layout(ph, pw, subsampling)
+    nslots = gather_idx.shape[0]
+
+    @jax.jit
+    def fn(img):
+        zz = _color_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np), jnp.asarray(qtc_np)
+        )
+        dc_diff = _per_component_dc_diff(zz[:, 0], comp_id)
+        return entropy_device.encode_scan_device(
+            zz,
+            table_sel=jnp.asarray(table_sel),
+            dc_diff=dc_diff,
+            capacity_words=nslots * cap_words_per_block,
+            pad_ones=pad_ones,
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _levels_fn(ph: int, pw: int, quality: int, bitexact: bool, subsampling: str):
+    cfg = EncodeConfig(quality=quality, bitexact=bitexact, subsampling=subsampling)
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+
+    @jax.jit
+    def fn(img):
+        return _color_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        )
+
+    return fn
+
+
+def color_coefficients(image: np.ndarray, config: EncodeConfig):
+    """Host-visible interleaved levels + layout (for tests / host coder).
+
+    Returns (zz [nslots, 64] int32, table_sel, comp_id).
+    """
+    h, w = image.shape[:2]
+    ph, pw = padded_dims_color(h, w, config.subsampling)
+    if (ph, pw) != (h, w):
+        image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
+    fn = _levels_fn(ph, pw, config.quality, config.bitexact, config.subsampling)
+    zz = fn(jnp.asarray(image))
+    _, table_sel, comp_id = _scan_layout(ph, pw, config.subsampling)
+    return np.asarray(zz), table_sel, comp_id
+
+
+def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes:
+    """RGB uint8 [H, W, 3] -> baseline JFIF YCbCr stream (420 or 444)."""
+    config = config or EncodeConfig(subsampling="420")
+    h, w = image.shape[:2]
+    if image.ndim == 2:
+        image = np.repeat(image[..., None], 3, axis=-1)
+    ph, pw = padded_dims_color(h, w, config.subsampling)
+    if (ph, pw) != (h, w):
+        image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
+
+    if config.entropy == "device" and not config.restart_interval:
+        img_dev = jnp.asarray(image)
+        for cap in (
+            config.capacity_words_per_block,
+            entropy_device.MAX_WORDS_PER_BLOCK,
+        ):
+            fn = _encode_color_device(
+                ph, pw, config.quality, config.bitexact, config.pad_ones,
+                config.subsampling, cap,
+            )
+            buf, nbytes, overflowed = fn(img_dev)
+            if not bool(overflowed):
+                seg = np.asarray(buf)[: int(nbytes)].tobytes()
+                return jfif.assemble(w, h, config, [seg])
+        raise AssertionError("worst-case entropy capacity overflowed (bug)")
+
+    zz, table_sel, comp_id = color_coefficients(image, config)
+    segments = entropy_host.encode_scan(
+        zz,
+        table_sel=table_sel.astype(np.int64),
+        comp_id=comp_id,
+        pad_ones=config.pad_ones,
+    )
+    return jfif.assemble(w, h, config, segments)

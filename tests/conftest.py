@@ -14,15 +14,15 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Persistent compile cache: the large-image pipeline jits are identical across
-# runs; caching cuts cold pytest wall time significantly.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the large-image pipeline jits are identical across
+# runs; caching cuts cold pytest wall time significantly. Set via config (not
+# env) because the container sitecustomize imports jax before conftest runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import pathlib
 
