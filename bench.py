@@ -68,14 +68,15 @@ def main():
     # Warmup: compile + first run; also sanity-check no capacity overflow.
     buf, nbytes, overflow = fn(img_dev)
     assert not bool(overflow), "capacity overflow in bench image"
-    data = jfif.assemble(w, h, cfg, [np.asarray(buf)[: int(nbytes)].tobytes()])
+    seg = pipeline.fetch_prefix(buf, nbytes).tobytes()
+    data = jfif.assemble(w, h, cfg, [seg])
     assert data[:2] == b"\xff\xd8"
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         buf, nbytes, overflow = fn(img_dev)
-        seg = np.asarray(buf)[: int(nbytes)].tobytes()
+        seg = pipeline.fetch_prefix(buf, nbytes).tobytes()
         jfif.assemble(w, h, cfg, [seg])
         times.append(time.perf_counter() - t0)
 

@@ -191,7 +191,9 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
             )
             buf, nbytes, overflowed = fn(img_dev)
             if not bool(overflowed):
-                seg = np.asarray(buf)[: int(nbytes)].tobytes()
+                from .pipeline import fetch_prefix
+
+                seg = fetch_prefix(buf, nbytes).tobytes()
                 return jfif.assemble(w, h, config, [seg])
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
 

@@ -48,6 +48,7 @@ class EncodeConfig:
     dct_dtype: str = "float32"
     entropy: str = "device"
     capacity_words_per_block: int = 8
+    stuff: str = "host"
 
     def __post_init__(self):
         if not 1 <= self.quality <= 100:
@@ -56,6 +57,8 @@ class EncodeConfig:
             raise ValueError(f"unknown subsampling {self.subsampling!r}")
         if self.entropy not in ("device", "host"):
             raise ValueError(f"unknown entropy backend {self.entropy!r}")
+        if self.stuff not in ("host", "device"):
+            raise ValueError(f"unknown stuffing mode {self.stuff!r}")
 
     @property
     def luma_quant(self) -> np.ndarray:

@@ -70,6 +70,44 @@ def _device_luts():
     return tuple(jnp.asarray(a) for a in _host_luts())
 
 
+@functools.lru_cache(maxsize=None)
+def _combined_ac_table():
+    """AC (code, length) packed as (code << 5) | length, shaped [2, 16, 16]
+    float32 for the one-hot bilinear lookup (codes are <= 16 bits, so the
+    packed value <= 2^21 — exact in f32). Indexed [table, run, size]."""
+    _, _, ac_codes, ac_lens = _host_luts()
+    packed = (ac_codes.astype(np.int64) << 5) | ac_lens.astype(np.int64)
+    return packed.reshape(2, 16, 16).astype(np.float32)
+
+
+def _ac_lookup(sym: jnp.ndarray, tsel):
+    """Huffman (code, length) for AC symbol bytes WITHOUT a gather.
+
+    A [2,256]-table gather costs ~13 ns/element on TPU (~160 ms for a
+    12 MPix image); decomposing the symbol byte into (run, size) nibbles
+    and contracting two 16-wide one-hots against the [16,16] table runs
+    5x faster on the MXU/VPU. sym: [nb, 63] int32.
+    Returns (codes u32, lens i32).
+    """
+    tables3 = jnp.asarray(_combined_ac_table())
+    hi = jax.nn.one_hot(sym >> 4, 16, dtype=jnp.float32)  # [nb, 63, 16]
+    lo = jax.nn.one_hot(sym & 15, 16, dtype=jnp.float32)
+
+    def look(tbl):
+        return jnp.einsum(
+            "bki,ij,bkj->bk", hi, tbl, lo, precision=jax.lax.Precision.HIGHEST
+        )
+
+    if isinstance(tsel, int):
+        packed = look(tables3[tsel])
+    else:
+        p0 = look(tables3[0])
+        p1 = look(tables3[1])
+        packed = jnp.where((tsel > 0)[:, None], p1, p0)
+    packed = packed.astype(jnp.int32)
+    return (packed >> 5).astype(jnp.uint32), packed & 31
+
+
 def magnitude_category(v: jnp.ndarray) -> jnp.ndarray:
     """JPEG size category = bit length of |v| (rle.c:9-22), via count-
     leading-zeros — the DSP port's __norm trick (dsp rle.c:10-19)."""
@@ -142,8 +180,10 @@ def symbolize_slots(
     ac_size = magnitude_category(ac)
     sym = jnp.where(nz, (rem << 4) | ac_size, 0)
     ac_amp = amplitude_code(ac, ac_size)
-    ach = ac_codes[tsel[:, None], sym]
-    achl = jnp.where(nz, ac_lens[tsel[:, None], sym], 0)
+    ach, achl = _ac_lookup(
+        sym, table_sel if isinstance(table_sel, int) else tsel
+    )
+    achl = jnp.where(nz, achl, 0)
     ac_val = (ach << ac_size.astype(jnp.uint32)) | ac_amp
     ac_len = achl + jnp.where(nz, ac_size, 0)
 
@@ -243,6 +283,8 @@ def encode_scan_device(
     seg_len: int = 0,
     capacity_words: int | None = None,
     pad_ones: bool = True,
+    packer: str = "tree",
+    stuff: bool = True,
 ):
     """Full on-device entropy encode of one scan segment.
 
@@ -261,6 +303,22 @@ def encode_scan_device(
     if capacity_words is None:
         capacity_words = nb * MAX_WORDS_PER_BLOCK
     values, lengths = symbolize_slots(zz, table_sel, dc_diff, seg_len)
+    if packer == "tree":
+        from . import treepack
+
+        cap_per_block = max(1, capacity_words // nb)
+        words, total_bits, overflow = treepack.pack_bits_tree(
+            values.reshape(nb, -1), lengths.reshape(nb, -1), cap_per_block,
+            pad_ones,
+        )
+        if not stuff:
+            # Caller finishes on host (native.words_to_stuffed) — saves the
+            # byte-level scatter pass on device.
+            return words, total_bits, overflow
+        out, nbytes = stuff_bytes_device(words, total_bits)
+        return out, nbytes, overflow
     words, total_bits = pack_bits_device(values, lengths, capacity_words, pad_ones)
+    if not stuff:
+        return words, total_bits, total_bits > capacity_words * 32
     out, nbytes = stuff_bytes_device(words, total_bits)
     return out, nbytes, total_bits > capacity_words * 32

@@ -150,7 +150,21 @@ def pack_bits(values: np.ndarray, lengths: np.ndarray, pad_ones: bool = True) ->
     """MSB-first concatenation of variable-length codes, with byte stuffing.
 
     values: uint32/uint64 code values; lengths: bits per code (0 allowed).
+    Uses the native C++ packer when available (identical output, pinned by
+    tests); falls back to vectorized numpy.
     """
+    from .. import native
+
+    if native.available() and int(lengths.max(initial=0)) <= 32:
+        return native.pack_codes(
+            values.astype(np.uint32), lengths.astype(np.uint8), pad_ones
+        )
+    return _pack_bits_numpy(values, lengths, pad_ones)
+
+
+def _pack_bits_numpy(
+    values: np.ndarray, lengths: np.ndarray, pad_ones: bool = True
+) -> bytes:
     values = values.astype(np.uint64)
     lengths = lengths.astype(np.int64)
     total = int(lengths.sum())

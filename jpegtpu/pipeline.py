@@ -57,22 +57,29 @@ def _encode_gray_device(
     is_rgb: bool,
     pad_ones: bool,
     cap_words_per_block: int,
+    stuff: bool = True,
 ):
-    """Jitted full device encode: padded image -> (stuffed entropy bytes,
-    nbytes, overflowed). Transform and entropy coding compile into ONE
-    XLA program so intermediates never leave the device."""
+    """Jitted full device encode. Transform and entropy coding compile into
+    ONE XLA program so intermediates never leave the device.
+
+    stuff=True: padded image -> (stuffed entropy bytes, nbytes, overflow).
+    stuff=False: -> (packed words, total_bits, overflow); the host finishes
+    with the native stuffer (native.words_to_stuffed)."""
     cfg = EncodeConfig(quality=quality, bitexact=bitexact)
-    basis = jnp.asarray(cfg.dct_basis())
-    qtable = jnp.asarray(cfg.luma_quant.astype(np.float32))
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
     nb = (ph // 8) * (pw // 8)
 
     @jax.jit
     def fn(img):
-        zz = _gray_levels(img, cfg, basis, qtable, is_rgb)
+        zz = _gray_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
+        )
         return entropy_device.encode_scan_device(
             zz,
             capacity_words=nb * cap_words_per_block,
             pad_ones=pad_ones,
+            stuff=stuff,
         )
 
     return fn
@@ -122,6 +129,22 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     return jfif.assemble(w, h, config, segments)
 
 
+def fetch_prefix(buf, nbytes: int) -> np.ndarray:
+    """Download only the valid prefix of a device byte buffer.
+
+    Slices to a power-of-two bucket first so at most ~log2(cap) distinct
+    slice executables ever compile, then trims on host. Downloading the
+    full capacity buffer costs more than the encode itself for large
+    images (the capacity is ~12x the typical stream size)."""
+    k = int(nbytes)
+    if k <= 0:
+        return np.empty((0,), np.uint8)
+    bucket = 1 << max(12, (k - 1).bit_length())
+    if bucket >= buf.shape[0]:
+        return np.asarray(buf)[:k]
+    return np.asarray(buf[:bucket])[:k]
+
+
 def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
     """Single-segment fully-on-device encode with capacity-overflow retry."""
     is_rgb = image.ndim == 3
@@ -131,14 +154,39 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
         image = np.pad(image, pad, mode="edge")
     img_dev = jnp.asarray(image)
+    host_stuff = config.stuff == "host" and _native_available()
     for cap in (config.capacity_words_per_block, entropy_device.MAX_WORDS_PER_BLOCK):
         fn = _encode_gray_device(
-            ph, pw, config.quality, config.bitexact, is_rgb, config.pad_ones, cap
+            ph, pw, config.quality, config.bitexact, is_rgb, config.pad_ones,
+            cap, stuff=not host_stuff,
         )
-        buf, nbytes, overflowed = fn(img_dev)
+        out, count, overflowed = fn(img_dev)
         if not bool(overflowed):
-            return np.asarray(buf)[: int(nbytes)].tobytes()
+            if host_stuff:
+                from . import native
+
+                total_bits = int(count)
+                words = fetch_prefix_words(out, (total_bits + 31) // 32)
+                return native.words_to_stuffed(words, total_bits)
+            return fetch_prefix(out, count).tobytes()
     raise AssertionError("worst-case entropy capacity overflowed (bug)")
+
+
+def _native_available() -> bool:
+    from . import native
+
+    return native.available()
+
+
+def fetch_prefix_words(buf, nwords: int) -> np.ndarray:
+    """Prefix download for uint32 word buffers (pow-2 bucketed slices)."""
+    k = int(nwords)
+    if k <= 0:
+        return np.empty((0,), np.uint32)
+    bucket = 1 << max(10, (k - 1).bit_length())
+    if bucket >= buf.shape[0]:
+        return np.asarray(buf)[:k]
+    return np.asarray(buf[:bucket])[:k]
 
 
 def encode_file(input_path: str, output_path: str, config: EncodeConfig | None = None) -> int:

@@ -1,0 +1,38 @@
+"""Batch encode: output parity with single-image encodes."""
+import numpy as np
+
+from jpegtpu import batch, pipeline
+from jpegtpu.config import EncodeConfig
+
+
+def _img(h, w, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip((xx + 2 * yy) % 256 + rng.normal(0, 10, (h, w)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def test_batch_matches_single():
+    """Every stream from a mixed-shape batch must be byte-identical to the
+    single-image encode of the same image."""
+    images = [
+        _img(64, 64, 0),
+        _img(64, 64, 1),
+        _img(48, 80, 2),  # different bucket
+        _img(60, 60, 3),  # needs padding
+        _img(64, 64, 4),
+    ]
+    cfg = EncodeConfig()
+    got = batch.encode_grayscale_batch(images, cfg)
+    for i, img in enumerate(images):
+        assert got[i] == pipeline.encode_grayscale(img, cfg), f"image {i}"
+
+
+def test_batch_bucket_padding_images_ignored():
+    """Batch sizes are padded to powers of two with dummy images; the
+    dummies must not leak into results (3 images -> bucket of 4)."""
+    images = [_img(32, 32, s) for s in range(3)]
+    got = batch.encode_grayscale_batch(images)
+    assert len(got) == 3
+    assert all(isinstance(b, bytes) and b[:2] == b"\xff\xd8" for b in got)

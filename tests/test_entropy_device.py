@@ -14,7 +14,7 @@ import pytest
 from jpegtpu.entropy import device, host
 
 
-def _device_stream(zz, seg_len=0, pad_ones=True, table_sel=0):
+def _device_stream(zz, seg_len=0, pad_ones=True, table_sel=0, packer="tree"):
     nb = zz.shape[0]
     fn = jax.jit(
         functools.partial(
@@ -23,6 +23,7 @@ def _device_stream(zz, seg_len=0, pad_ones=True, table_sel=0):
             pad_ones=pad_ones,
             capacity_words=nb * device.MAX_WORDS_PER_BLOCK,
             table_sel=table_sel,
+            packer=packer,
         )
     )
     buf, n, overflow = fn(jnp.asarray(zz))
@@ -43,11 +44,12 @@ def _random_levels(nb, seed=0, scale=200.0):
     return zz
 
 
+@pytest.mark.parametrize("packer", ["tree", "scatter"])
 @pytest.mark.parametrize("nb", [1, 3, 64, 257])
-def test_matches_host_random(nb):
+def test_matches_host_random(nb, packer):
     zz = _random_levels(nb, seed=nb)
     ref = host.encode_scan(zz, pad_ones=True)[0]
-    assert _device_stream(zz) == ref
+    assert _device_stream(zz, packer=packer) == ref
 
 
 def test_matches_host_pad_zeros():
