@@ -307,9 +307,8 @@ def encode_scan_device(
         from . import treepack
 
         cap_per_block = max(1, capacity_words // nb)
-        words, total_bits, overflow = treepack.pack_bits_tree(
-            values.reshape(nb, -1), lengths.reshape(nb, -1), cap_per_block,
-            pad_ones,
+        words, total_bits, overflow = treepack.pack_slots_tree(
+            values, lengths, cap_per_block, pad_ones
         )
         if not stuff:
             # Caller finishes on host (native.words_to_stuffed) — saves the

@@ -63,12 +63,63 @@ def _shift_right_bits_r(words: jnp.ndarray, nbits: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((ra == 0)[:, None], words, hi | lo)
 
 
+def _place(v: jnp.ndarray, ln: jnp.ndarray, off: jnp.ndarray):
+    """Deposit a right-aligned value of `ln` bits at MSB-relative bit
+    offset `off` into a 2-word (MSB-aligned) frame. off + ln <= 64.
+    Returns (w0, w1) contributions (zero where ln == 0)."""
+    end = off + ln
+    sh_lo = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
+    sh_rt = jnp.clip(end - 32, 0, 31).astype(jnp.uint32)
+    w0 = jnp.where(end <= 32, v << sh_lo, v >> sh_rt)
+    sh_hi = jnp.clip(64 - end, 0, 31).astype(jnp.uint32)
+    w1 = jnp.where(end > 32, v << sh_hi, 0)
+    valid = ln > 0
+    return jnp.where(valid, w0, 0), jnp.where(valid, w1, 0)
+
+
+def _fuse_subslots(values: jnp.ndarray, lengths: jnp.ndarray):
+    """Arithmetically merge the K per-lane sub-slots (total <= 59 bits)
+    into one 2-word element per lane — replaces the two widest levels of
+    the binary reduction with pure elementwise work.
+
+    values/lengths: [nb, E, K]. Returns (words_t [2, E, nb], bits [E, nb]).
+    """
+    lengths = lengths.astype(jnp.int32)
+    k = values.shape[-1]
+    off = jnp.zeros_like(lengths[..., 0])
+    w0 = jnp.zeros(values.shape[:-1], jnp.uint32)
+    w1 = jnp.zeros(values.shape[:-1], jnp.uint32)
+    for i in range(k):
+        p0, p1 = _place(values[..., i], lengths[..., i], off)
+        w0 |= p0
+        w1 |= p1
+        off = off + lengths[..., i]
+    words_t = jnp.stack([w0.T, w1.T])  # [2, E, nb]
+    return words_t, off.T
+
+
+def pack_slots_tree(values3: jnp.ndarray, lengths3: jnp.ndarray,
+                    cap_words_per_block: int, pad_ones: bool = True):
+    """Pack [nb, E, K] sub-slot codes (emission order lane-major then
+    sub-slot) into one stream. The K sub-slots fuse elementwise; the lanes
+    then reduce as a binary tree starting at 2-word elements."""
+    nb = values3.shape[0]
+    words_t, bits_t = _fuse_subslots(values3, lengths3)  # [2, E, nb], [E, nb]
+    bw_t, bb, overflow = _block_reduce(
+        words_t, bits_t, values3.shape[1], 2, cap_words_per_block, nb
+    )
+    stream, total = concat_blocks_tree(bw_t, bb)
+    stream, total = _apply_tail_padding(stream, total, pad_ones)
+    return stream, total, overflow
+
+
 def pack_block_tree(values: jnp.ndarray, lengths: jnp.ndarray,
                     cap_words_per_block: int):
     """Per-block slot codes -> packed per-block bitstreams.
 
     values/lengths: [nb, S] uint32 (right-aligned, <= 32 bits each) / i32.
-    Returns (words [nb, cap] u32 MSB-aligned, bits [nb] i32, overflow).
+    Returns (words [cap, nb] u32 MSB-aligned TRANSPOSED, bits [nb] i32,
+    overflow).
     """
     nb, s = values.shape
     lengths = lengths.astype(jnp.int32)
@@ -78,8 +129,10 @@ def pack_block_tree(values: jnp.ndarray, lengths: jnp.ndarray,
     # Transposed element layout: [C=1, E=s, nb].
     words = leaves.T[None, :, :]
     bits = lengths.T  # [E, nb]
+    return _block_reduce(words, bits, s, 1, cap_words_per_block, nb)
 
-    e, c = s, 1
+
+def _block_reduce(words, bits, e, c, cap_words_per_block, nb):
     while e > 1:
         c_next = min(2 * c, cap_words_per_block)
         half = e // 2
@@ -166,6 +219,13 @@ def pack_bits_tree(values: jnp.ndarray, lengths: jnp.ndarray,
     """
     bw_t, bb, overflow = pack_block_tree(values, lengths, cap_words_per_block)
     stream, total = concat_blocks_tree(bw_t, bb)
+    stream, total = _apply_tail_padding(stream, total, pad_ones)
+    return stream, total, overflow
+
+
+def _apply_tail_padding(stream: jnp.ndarray, total: jnp.ndarray, pad_ones: bool):
+    """Pad the final partial byte (1s per T.81 / dsp huffman.c:179-187, or
+    0s = the natural zero fill). Returns (stream, padded total_bits)."""
     padlen = (-total) % 8
     if pad_ones:
         # The pad never crosses a word boundary (it only completes the
@@ -182,4 +242,4 @@ def pack_bits_tree(values: jnp.ndarray, lengths: jnp.ndarray,
         stream = jax.lax.dynamic_update_index_in_dim(
             stream, word | mask_full, widx, axis=0
         )
-    return stream, total + padlen, overflow
+    return stream, total + padlen

@@ -25,7 +25,27 @@ from .ops import blocks, color, dct, quant, zigzag
 
 
 def _gray_levels(img, cfg: EncodeConfig, basis, qtable, is_rgb: bool):
-    """Traceable core: padded image -> [nb, 64] zigzag levels."""
+    """Traceable core: padded image -> [nb, 64] zigzag levels.
+
+    Uses the tiled block-diagonal MXU transform (ops/fused_transform) —
+    ~20x the throughput of the batched-8x8 einsum. The image (already
+    8-aligned) is edge-padded up to tile multiples in-graph and the extra
+    blocks trimmed after."""
+    from .ops import fused_transform
+
+    y = color.rgb_to_y_reference(img) if is_rgb else img
+    h, w = y.shape
+    th, tw = fused_transform.padded_dims_tile(h, w)
+    if (th, tw) != (h, w):
+        y = jnp.pad(y, ((0, th - h), (0, tw - w)), mode="edge")
+    return fused_transform.transform_tiled(
+        y, qtable, bitexact=cfg.bitexact, out_blocks=(h // 8, w // 8)
+    )
+
+
+def _gray_levels_blockwise(img, cfg: EncodeConfig, basis, qtable, is_rgb: bool):
+    """The straightforward batched-8x8 formulation (kept as the reference
+    implementation for equivalence tests)."""
     y = color.rgb_to_y_reference(img) if is_rgb else img
     centered = color.level_shift(y)
     b = blocks.blockify(centered)
