@@ -59,25 +59,33 @@ def main():
     img = make_image(h, w)
     cfg = EncodeConfig()
     ph, pw = blocks.padded_dims(h, w)
+    host_stuff = cfg.stuff == "host" and pipeline._native_available()
     fn = pipeline._encode_gray_device(
         ph, pw, cfg.quality, cfg.bitexact, False, cfg.pad_ones,
-        cfg.capacity_words_per_block,
+        cfg.capacity_words_per_block, stuff=not host_stuff,
     )
 
+    def run(img_dev):
+        out, count, overflow = fn(img_dev)
+        if host_stuff:
+            from jpegtpu import native
+
+            words, total_bits = pipeline.fetch_stream_words(out, count, overflow)
+            assert words is not None, "capacity overflow in bench image"
+            seg = native.words_to_stuffed(words, total_bits)
+        else:
+            assert not bool(overflow), "capacity overflow in bench image"
+            seg = pipeline.fetch_prefix(out, count).tobytes()
+        return jfif.assemble(w, h, cfg, [seg])
+
     img_dev = jnp.asarray(img)
-    # Warmup: compile + first run; also sanity-check no capacity overflow.
-    buf, nbytes, overflow = fn(img_dev)
-    assert not bool(overflow), "capacity overflow in bench image"
-    seg = pipeline.fetch_prefix(buf, nbytes).tobytes()
-    data = jfif.assemble(w, h, cfg, [seg])
+    data = run(img_dev)  # warmup: compile + first run
     assert data[:2] == b"\xff\xd8"
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        buf, nbytes, overflow = fn(img_dev)
-        seg = pipeline.fetch_prefix(buf, nbytes).tobytes()
-        jfif.assemble(w, h, cfg, [seg])
+        run(img_dev)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

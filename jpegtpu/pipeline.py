@@ -149,6 +149,32 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     return jfif.assemble(w, h, config, segments)
 
 
+_SPEC_BYTES = 1 << 21  # speculative first-fetch: 2 MB covers typical streams
+
+
+def fetch_stream_words(buf, total_bits_dev, overflow_dev):
+    """One-roundtrip fetch of (overflow, total_bits, stream words).
+
+    Through a remote device transport every host<->device interaction
+    costs a fixed round trip (~30 ms here), so reading overflow + length
+    first and the valid prefix second triples the latency. Instead fetch
+    everything with a speculative fixed-size prefix in ONE device_get;
+    only streams larger than the speculation pay a second fetch.
+    Returns (words or None-if-overflowed, total_bits)."""
+    spec_words = min(_SPEC_BYTES // 4, buf.shape[0])
+    overflow, total_bits, head = jax.device_get(
+        (overflow_dev, total_bits_dev, buf[:spec_words])
+    )
+    if bool(overflow):
+        return None, 0
+    total_bits = int(total_bits)
+    nwords = (total_bits + 31) // 32
+    if nwords <= spec_words:
+        return head[:nwords], total_bits
+    rest = fetch_prefix_words(buf[spec_words:], nwords - spec_words)
+    return np.concatenate([head, rest]), total_bits
+
+
 def fetch_prefix(buf, nbytes: int) -> np.ndarray:
     """Download only the valid prefix of a device byte buffer.
 
@@ -181,13 +207,13 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
             cap, stuff=not host_stuff,
         )
         out, count, overflowed = fn(img_dev)
-        if not bool(overflowed):
-            if host_stuff:
-                from . import native
+        if host_stuff:
+            from . import native
 
-                total_bits = int(count)
-                words = fetch_prefix_words(out, (total_bits + 31) // 32)
+            words, total_bits = fetch_stream_words(out, count, overflowed)
+            if words is not None:
                 return native.words_to_stuffed(words, total_bits)
+        elif not bool(overflowed):
             return fetch_prefix(out, count).tobytes()
     raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
