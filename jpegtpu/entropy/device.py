@@ -135,20 +135,16 @@ def dc_differences(dc: jnp.ndarray, seg_len: int) -> jnp.ndarray:
     return dc - prev
 
 
-def symbolize_slots(
+def _lane_codes(
     zz: jnp.ndarray,
     table_sel: jnp.ndarray | int = 0,
     dc_diff: jnp.ndarray | None = None,
     seg_len: int = 0,
 ):
-    """[nb, 64] zigzag levels -> per-slot (values u32, lengths i32) of shape
-    [nb, 65, 3], in exact reference emission order (rle.c:84-123).
+    """Shared per-lane code assignment (RLE + Huffman, rle.c:84-123).
 
-    Slot layout per lane: [:, :, 0] = first+second ZRL, [:, :, 1] = third
-    ZRL, [:, :, 2] = the coded symbol (DC at lane 0, AC elsewhere, EOB at
-    lane 64). table_sel selects luminance (0) / chrominance (1) tables per
-    block. dc_diff overrides the internally computed running difference
-    (used by interleaved color scans where the chain runs per component).
+    Returns dict of per-block / per-AC-lane (value, length) pieces:
+    dc [nb], zrl_a/zrl_b/ac [nb, 63], eob [nb].
     """
     zz = zz.astype(jnp.int32)
     nb = zz.shape[0]
@@ -203,18 +199,77 @@ def symbolize_slots(
     eob_val = ac_codes[tsel, _EOB]
     eob_len = jnp.where(eob, ac_lens[tsel, _EOB], 0)
 
+    return {
+        "dc": (dc_val, dc_len),
+        "zrl_a": (val_a, len_a),
+        "zrl_b": (val_b, len_b),
+        "ac": (ac_val, ac_len),
+        "eob": (eob_val, eob_len),
+        "nb": nb,
+    }
+
+
+def symbolize_slots(
+    zz: jnp.ndarray,
+    table_sel: jnp.ndarray | int = 0,
+    dc_diff: jnp.ndarray | None = None,
+    seg_len: int = 0,
+):
+    """[nb, 64] zigzag levels -> per-slot (values u32, lengths i32) of shape
+    [nb, 65, 3], in exact reference emission order (rle.c:84-123).
+
+    Slot layout per lane: [:, :, 0] = first+second ZRL, [:, :, 1] = third
+    ZRL, [:, :, 2] = the coded symbol (DC at lane 0, AC elsewhere, EOB at
+    lane 64). table_sel selects luminance (0) / chrominance (1) tables per
+    block. dc_diff overrides the internally computed running difference
+    (used by interleaved color scans where the chain runs per component).
+    """
+    c = _lane_codes(zz, table_sel, dc_diff, seg_len)
+    nb = c["nb"]
     values = jnp.zeros((nb, 65, 3), jnp.uint32)
     lengths = jnp.zeros((nb, 65, 3), jnp.int32)
-    values = values.at[:, 0, 2].set(dc_val)
-    lengths = lengths.at[:, 0, 2].set(dc_len)
-    values = values.at[:, 1:64, 0].set(val_a)
-    lengths = lengths.at[:, 1:64, 0].set(len_a)
-    values = values.at[:, 1:64, 1].set(val_b)
-    lengths = lengths.at[:, 1:64, 1].set(len_b)
-    values = values.at[:, 1:64, 2].set(ac_val)
-    lengths = lengths.at[:, 1:64, 2].set(ac_len)
-    values = values.at[:, 64, 2].set(eob_val)
-    lengths = lengths.at[:, 64, 2].set(eob_len)
+    values = values.at[:, 0, 2].set(c["dc"][0])
+    lengths = lengths.at[:, 0, 2].set(c["dc"][1])
+    values = values.at[:, 1:64, 0].set(c["zrl_a"][0])
+    lengths = lengths.at[:, 1:64, 0].set(c["zrl_a"][1])
+    values = values.at[:, 1:64, 1].set(c["zrl_b"][0])
+    lengths = lengths.at[:, 1:64, 1].set(c["zrl_b"][1])
+    values = values.at[:, 1:64, 2].set(c["ac"][0])
+    lengths = lengths.at[:, 1:64, 2].set(c["ac"][1])
+    values = values.at[:, 64, 2].set(c["eob"][0])
+    lengths = lengths.at[:, 64, 2].set(c["eob"][1])
+    return values, lengths
+
+
+def symbolize_elements64(
+    zz: jnp.ndarray,
+    table_sel: jnp.ndarray | int = 0,
+    dc_diff: jnp.ndarray | None = None,
+    seg_len: int = 0,
+):
+    """Power-of-two element layout for the tree packer: 64 elements per
+    block, element e (0..62) = AC lane e+1 carrying sub-slots
+    [DC-prefix (e==0 only), ZRLx2, ZRL, symbol, EOB-suffix (e==62 only)],
+    element 63 all-empty padding. Same emission order as the reference;
+    the even element count keeps every reduction level carry-free.
+
+    Returns (values [nb, 64, 5] u32, lengths [nb, 64, 5] i32). Max element
+    bits: 20 + 22 + 11 + 26 + 4 = 83 (3 words).
+    """
+    c = _lane_codes(zz, table_sel, dc_diff, seg_len)
+    nb = c["nb"]
+    values = jnp.zeros((nb, 64, 5), jnp.uint32)
+    lengths = jnp.zeros((nb, 64, 5), jnp.int32)
+    values = values.at[:, 0, 0].set(c["dc"][0])
+    lengths = lengths.at[:, 0, 0].set(c["dc"][1])
+    values = values.at[:, 0:63, 1].set(c["zrl_a"][0])
+    lengths = lengths.at[:, 0:63, 1].set(c["zrl_a"][1])
+    values = values.at[:, 0:63, 2].set(c["zrl_b"][0])
+    lengths = lengths.at[:, 0:63, 2].set(c["zrl_b"][1])
+    values = values.at[:, 0:63, 3].set(c["ac"][0])
+    lengths = lengths.at[:, 0:63, 3].set(c["ac"][1])
+    values = values.at[:, 62, 4].set(c["eob"][0])
+    lengths = lengths.at[:, 62, 4].set(c["eob"][1])
     return values, lengths
 
 
@@ -302,13 +357,13 @@ def encode_scan_device(
     nb = zz.shape[0]
     if capacity_words is None:
         capacity_words = nb * MAX_WORDS_PER_BLOCK
-    values, lengths = symbolize_slots(zz, table_sel, dc_diff, seg_len)
     if packer == "tree":
         from . import treepack
 
+        values, lengths = symbolize_elements64(zz, table_sel, dc_diff, seg_len)
         cap_per_block = max(1, capacity_words // nb)
         words, total_bits, overflow = treepack.pack_slots_tree(
-            values, lengths, cap_per_block, pad_ones
+            values, lengths, cap_per_block, pad_ones, c0=3
         )
         if not stuff:
             # Caller finishes on host (native.words_to_stuffed) — saves the
@@ -316,6 +371,7 @@ def encode_scan_device(
             return words, total_bits, overflow
         out, nbytes = stuff_bytes_device(words, total_bits)
         return out, nbytes, overflow
+    values, lengths = symbolize_slots(zz, table_sel, dc_diff, seg_len)
     words, total_bits = pack_bits_device(values, lengths, capacity_words, pad_ones)
     if not stuff:
         return words, total_bits, total_bits > capacity_words * 32

@@ -77,36 +77,54 @@ def _place(v: jnp.ndarray, ln: jnp.ndarray, off: jnp.ndarray):
     return jnp.where(valid, w0, 0), jnp.where(valid, w1, 0)
 
 
-def _fuse_subslots(values: jnp.ndarray, lengths: jnp.ndarray):
-    """Arithmetically merge the K per-lane sub-slots (total <= 59 bits)
-    into one 2-word element per lane — replaces the two widest levels of
-    the binary reduction with pure elementwise work.
+def _place_word(v: jnp.ndarray, ln: jnp.ndarray, end: jnp.ndarray, j: int):
+    """Contribution of a right-aligned `ln`-bit value ending at bit `end`
+    (MSB-relative) to word j of its element frame."""
+    sh = 32 * (j + 1) - end
+    left = v << jnp.clip(sh, 0, 31).astype(jnp.uint32)
+    right = v >> jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+    out = jnp.where(sh >= 0, left, right)
+    live = (ln > 0) & (sh < 32) & (sh > -ln)
+    return jnp.where(live, out, 0)
 
-    values/lengths: [nb, E, K]. Returns (words_t [2, E, nb], bits [E, nb]).
+
+def _fuse_subslots(values: jnp.ndarray, lengths: jnp.ndarray, c_out: int = 2):
+    """Arithmetically merge the K per-lane sub-slots into one c_out-word
+    element per lane — replaces the widest levels of the binary reduction
+    with pure elementwise work. Total sub-slot bits must fit c_out words.
+
+    values/lengths: [nb, E, K]. Returns (words_t [c_out, E, nb],
+    bits [E, nb]).
     """
     lengths = lengths.astype(jnp.int32)
     k = values.shape[-1]
     off = jnp.zeros_like(lengths[..., 0])
-    w0 = jnp.zeros(values.shape[:-1], jnp.uint32)
-    w1 = jnp.zeros(values.shape[:-1], jnp.uint32)
+    words = [jnp.zeros(values.shape[:-1], jnp.uint32) for _ in range(c_out)]
     for i in range(k):
-        p0, p1 = _place(values[..., i], lengths[..., i], off)
-        w0 |= p0
-        w1 |= p1
-        off = off + lengths[..., i]
-    words_t = jnp.stack([w0.T, w1.T])  # [2, E, nb]
+        v, ln = values[..., i], lengths[..., i]
+        end = off + ln
+        for j in range(c_out):
+            words[j] = words[j] | _place_word(v, ln, end, j)
+        off = end
+    words_t = jnp.stack([w.T for w in words])  # [c_out, E, nb]
     return words_t, off.T
 
 
 def pack_slots_tree(values3: jnp.ndarray, lengths3: jnp.ndarray,
-                    cap_words_per_block: int, pad_ones: bool = True):
-    """Pack [nb, E, K] sub-slot codes (emission order lane-major then
-    sub-slot) into one stream. The K sub-slots fuse elementwise; the lanes
-    then reduce as a binary tree starting at 2-word elements."""
-    nb = values3.shape[0]
-    words_t, bits_t = _fuse_subslots(values3, lengths3)  # [2, E, nb], [E, nb]
+                    cap_words_per_block: int, pad_ones: bool = True,
+                    c0: int | None = None):
+    """Pack [nb, E, K] sub-slot codes (emission order element-major then
+    sub-slot) into one stream. The K sub-slots fuse elementwise; the
+    elements then reduce as a binary tree. c0 = starting element capacity
+    in words (default: enough for 32*K bits worst case, but callers with
+    tighter bit bounds — e.g. the 5-sub-slot 83-bit layout — pass 3)."""
+    nb, e, k = values3.shape
+    if c0 is None:
+        c0 = 2 if k <= 3 else k
+    c0 = min(c0, cap_words_per_block)
+    words_t, bits_t = _fuse_subslots(values3, lengths3, c0)
     bw_t, bb, overflow = _block_reduce(
-        words_t, bits_t, values3.shape[1], 2, cap_words_per_block, nb
+        words_t, bits_t, e, c0, cap_words_per_block, nb
     )
     stream, total = concat_blocks_tree(bw_t, bb)
     stream, total = _apply_tail_padding(stream, total, pad_ones)
