@@ -112,20 +112,33 @@ def _fuse_subslots(values: jnp.ndarray, lengths: jnp.ndarray, c_out: int = 2):
 
 def pack_slots_tree(values3: jnp.ndarray, lengths3: jnp.ndarray,
                     cap_words_per_block: int, pad_ones: bool = True,
-                    c0: int | None = None):
+                    c0: int | None = None, block_packer: str = "auto"):
     """Pack [nb, E, K] sub-slot codes (emission order element-major then
     sub-slot) into one stream. The K sub-slots fuse elementwise; the
-    elements then reduce as a binary tree. c0 = starting element capacity
-    in words (default: enough for 32*K bits worst case, but callers with
-    tighter bit bounds — e.g. the 5-sub-slot 83-bit layout — pass 3)."""
+    block-internal reduction runs either as the Pallas vectorized
+    BitWriter (block_packer="pallas"; needs c0 == 3 and a small capacity)
+    or the XLA binary tree ("tree"); "auto" picks Pallas when eligible.
+    c0 = starting element capacity in words (default: enough for 32*K
+    bits worst case; the 5-sub-slot 83-bit layout passes 3)."""
     nb, e, k = values3.shape
     if c0 is None:
         c0 = 2 if k <= 3 else k
     c0 = min(c0, cap_words_per_block)
     words_t, bits_t = _fuse_subslots(values3, lengths3, c0)
-    bw_t, bb, overflow = _block_reduce(
-        words_t, bits_t, e, c0, cap_words_per_block, nb
+    use_pallas = block_packer == "pallas" or (
+        block_packer == "auto" and c0 == 3 and cap_words_per_block <= 16
     )
+    if use_pallas:
+        from . import pallas_pack
+
+        bw_t, bb, overflow = pallas_pack.pack_blocks_pallas(
+            words_t, bits_t, cap=cap_words_per_block,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        bw_t, bb, overflow = _block_reduce(
+            words_t, bits_t, e, c0, cap_words_per_block, nb
+        )
     stream, total = concat_blocks_tree(bw_t, bb)
     stream, total = _apply_tail_padding(stream, total, pad_ones)
     return stream, total, overflow
