@@ -61,8 +61,7 @@ def main():
     ph, pw = blocks.padded_dims(h, w)
     host_stuff = cfg.stuff == "host" and pipeline._native_available()
     fn = pipeline._encode_gray_device(
-        ph, pw, cfg.quality, cfg.bitexact, False, cfg.pad_ones,
-        cfg.capacity_words_per_block, stuff=not host_stuff,
+        ph, pw, cfg, False, cfg.capacity_words_per_block, stuff=not host_stuff,
     )
 
     def run(img_dev):

@@ -29,15 +29,12 @@ def _batch_encode_fn(
     bsz: int,
     ph: int,
     pw: int,
-    quality: int,
-    bitexact: bool,
+    cfg: EncodeConfig,
     is_rgb: bool,
-    pad_ones: bool,
     cap_words_per_block: int,
     stuff: bool,
 ):
     """vmapped fused encode over a [bsz, ph, pw(, 3)] batch."""
-    cfg = EncodeConfig(quality=quality, bitexact=bitexact)
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb = (ph // 8) * (pw // 8)
@@ -49,7 +46,7 @@ def _batch_encode_fn(
         return entropy_device.encode_scan_device(
             zz,
             capacity_words=nb * cap_words_per_block,
-            pad_ones=pad_ones,
+            pad_ones=cfg.pad_ones,
             stuff=stuff,
         )
 
@@ -95,8 +92,7 @@ def encode_grayscale_batch(
             entropy_device.MAX_WORDS_PER_BLOCK,
         ):
             fn = _batch_encode_fn(
-                bsz, ph, pw, config.quality, config.bitexact, is_rgb,
-                config.pad_ones, cap, not host_stuff,
+                bsz, ph, pw, config, is_rgb, cap, not host_stuff,
             )
             bufs, counts, overflow = jax.device_get(fn(arr))
             if not overflow[: len(idxs)].any():

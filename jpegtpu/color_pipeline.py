@@ -109,11 +109,10 @@ def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
 
 @functools.lru_cache(maxsize=64)
 def _encode_color_device(
-    ph: int, pw: int, quality: int, bitexact: bool, pad_ones: bool,
-    subsampling: str, cap_words_per_block: int,
+    ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
 ):
     """Jitted full color encode: padded RGB -> (bytes, nbytes, overflowed)."""
-    cfg = EncodeConfig(quality=quality, bitexact=bitexact, subsampling=subsampling)
+    subsampling = cfg.subsampling
     basis_np = cfg.dct_basis()
     qtl_np = cfg.luma_quant.astype(np.float32)
     qtc_np = cfg.chroma_quant.astype(np.float32)
@@ -131,15 +130,14 @@ def _encode_color_device(
             table_sel=jnp.asarray(table_sel),
             dc_diff=dc_diff,
             capacity_words=nslots * cap_words_per_block,
-            pad_ones=pad_ones,
+            pad_ones=cfg.pad_ones,
         )
 
     return fn
 
 
 @functools.lru_cache(maxsize=64)
-def _levels_fn(ph: int, pw: int, quality: int, bitexact: bool, subsampling: str):
-    cfg = EncodeConfig(quality=quality, bitexact=bitexact, subsampling=subsampling)
+def _levels_fn(ph: int, pw: int, cfg: EncodeConfig):
     basis_np = cfg.dct_basis()
     qtl_np = cfg.luma_quant.astype(np.float32)
     qtc_np = cfg.chroma_quant.astype(np.float32)
@@ -163,7 +161,7 @@ def color_coefficients(image: np.ndarray, config: EncodeConfig):
     ph, pw = padded_dims_color(h, w, config.subsampling)
     if (ph, pw) != (h, w):
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
-    fn = _levels_fn(ph, pw, config.quality, config.bitexact, config.subsampling)
+    fn = _levels_fn(ph, pw, config)
     zz = fn(jnp.asarray(image))
     _, table_sel, comp_id = _scan_layout(ph, pw, config.subsampling)
     return np.asarray(zz), table_sel, comp_id
@@ -185,10 +183,7 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
             config.capacity_words_per_block,
             entropy_device.MAX_WORDS_PER_BLOCK,
         ):
-            fn = _encode_color_device(
-                ph, pw, config.quality, config.bitexact, config.pad_ones,
-                config.subsampling, cap,
-            )
+            fn = _encode_color_device(ph, pw, config, cap)
             buf, nbytes, overflowed = fn(img_dev)
             if not bool(overflowed):
                 from .pipeline import fetch_prefix

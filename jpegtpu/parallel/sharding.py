@@ -58,10 +58,8 @@ def _sharded_encode_fn(
     mesh: Mesh,
     ph: int,
     pw: int,
-    quality: int,
-    bitexact: bool,
+    cfg: EncodeConfig,
     is_rgb: bool,
-    pad_ones: bool,
     cap_words_per_block: int,
 ):
     """Build the jitted sharded encode step for a padded shape.
@@ -71,7 +69,6 @@ def _sharded_encode_fn(
     (restart markers included) — computed on-device from the all_gather.
     """
     n = mesh.devices.size
-    cfg = EncodeConfig(quality=quality, bitexact=bitexact)
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb_local = (ph // n // 8) * (pw // 8)
@@ -82,7 +79,7 @@ def _sharded_encode_fn(
         qtable = jnp.asarray(qtable_np)
         zz = pipeline._gray_levels(img_local, cfg, basis, qtable, is_rgb)
         buf, nbytes, overflow = entropy_device.encode_scan_device(
-            zz, capacity_words=cap, pad_ones=pad_ones
+            zz, capacity_words=cap, pad_ones=cfg.pad_ones
         )
         # Cross-shard exchange: every chip learns all segment lengths, so
         # each can compute its own output offset (segment bytes + 2-byte
@@ -131,10 +128,7 @@ def encode_grayscale_sharded(
     is_rgb = image.ndim == 3
 
     for cap in (config.capacity_words_per_block, entropy_device.MAX_WORDS_PER_BLOCK):
-        fn = _sharded_encode_fn(
-            mesh, ph, pw, config.quality, config.bitexact, is_rgb,
-            config.pad_ones, cap,
-        )
+        fn = _sharded_encode_fn(mesh, ph, pw, config, is_rgb, cap)
         bufs, nbytes, overflow, _ = jax.device_get(fn(jnp.asarray(image)))
         if not overflow.any():
             break

@@ -38,6 +38,12 @@ def _gray_levels(img, cfg: EncodeConfig, basis, qtable, is_rgb: bool):
     th, tw = fused_transform.padded_dims_tile(h, w)
     if (th, tw) != (h, w):
         y = jnp.pad(y, ((0, th - h), (0, tw - w)), mode="edge")
+    if cfg.dct_dtype == "int32":
+        from .ops import int_transform
+
+        return int_transform.transform_tiled_int(
+            y, qtable, bitexact=cfg.bitexact, out_blocks=(h // 8, w // 8)
+        )
     return fused_transform.transform_tiled(
         y, qtable, bitexact=cfg.bitexact, out_blocks=(h // 8, w // 8)
     )
@@ -55,15 +61,16 @@ def _gray_levels_blockwise(img, cfg: EncodeConfig, basis, qtable, is_rgb: bool):
 
 
 @functools.lru_cache(maxsize=64)
-def _transform_gray(ph: int, pw: int, quality: int, bitexact: bool, is_rgb: bool):
+def _transform_gray(ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool):
     """Jitted device transform: padded image -> [nb, 64] zigzag levels."""
-    cfg = EncodeConfig(quality=quality, bitexact=bitexact)
-    basis = jnp.asarray(cfg.dct_basis())
-    qtable = jnp.asarray(cfg.luma_quant.astype(np.float32))
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
 
     @jax.jit
     def fn(img):
-        return _gray_levels(img, cfg, basis, qtable, is_rgb)
+        return _gray_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
+        )
 
     return fn
 
@@ -72,10 +79,8 @@ def _transform_gray(ph: int, pw: int, quality: int, bitexact: bool, is_rgb: bool
 def _encode_gray_device(
     ph: int,
     pw: int,
-    quality: int,
-    bitexact: bool,
+    cfg: EncodeConfig,
     is_rgb: bool,
-    pad_ones: bool,
     cap_words_per_block: int,
     stuff: bool = True,
 ):
@@ -85,7 +90,6 @@ def _encode_gray_device(
     stuff=True: padded image -> (stuffed entropy bytes, nbytes, overflow).
     stuff=False: -> (packed words, total_bits, overflow); the host finishes
     with the native stuffer (native.words_to_stuffed)."""
-    cfg = EncodeConfig(quality=quality, bitexact=bitexact)
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb = (ph // 8) * (pw // 8)
@@ -98,7 +102,7 @@ def _encode_gray_device(
         return entropy_device.encode_scan_device(
             zz,
             capacity_words=nb * cap_words_per_block,
-            pad_ones=pad_ones,
+            pad_ones=cfg.pad_ones,
             stuff=stuff,
         )
 
@@ -120,7 +124,7 @@ def grayscale_coefficients(
     if (ph, pw) != (h, w):
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
         image = np.pad(image, pad, mode="edge")
-    fn = _transform_gray(ph, pw, config.quality, config.bitexact, is_rgb)
+    fn = _transform_gray(ph, pw, config, is_rgb)
     return np.asarray(fn(jnp.asarray(image)))
 
 
@@ -203,8 +207,7 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
     host_stuff = config.stuff == "host" and _native_available()
     for cap in (config.capacity_words_per_block, entropy_device.MAX_WORDS_PER_BLOCK):
         fn = _encode_gray_device(
-            ph, pw, config.quality, config.bitexact, is_rgb, config.pad_ones,
-            cap, stuff=not host_stuff,
+            ph, pw, config, is_rgb, cap, stuff=not host_stuff,
         )
         out, count, overflowed = fn(img_dev)
         if host_stuff:

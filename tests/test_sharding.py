@@ -72,8 +72,7 @@ def test_sharded_offsets_match_layout():
     cfg = EncodeConfig()
     ph, pw = sharding.shard_padded_dims(h, w, n)
     fn = sharding._sharded_encode_fn(
-        mesh, ph, pw, cfg.quality, cfg.bitexact, False, cfg.pad_ones,
-        cfg.capacity_words_per_block,
+        mesh, ph, pw, cfg, False, cfg.capacity_words_per_block
     )
     import jax.numpy as jnp
 
