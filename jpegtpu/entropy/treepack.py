@@ -193,48 +193,60 @@ def _block_reduce(words, bits, e, c, cap_words_per_block, nb):
     return words, bits, overflow  # words TRANSPOSED [cap, nb]
 
 
-def concat_blocks_tree(words_t: jnp.ndarray, bits: jnp.ndarray):
+def concat_blocks_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
+                       radix: int = 4):
     """Concatenate per-block packed streams (transposed [CB, nb]) into one
-    stream. Returns (stream_words [nb * CB] u32, total_bits i32)."""
+    stream. Returns (stream_words [nb * CB] u32, total_bits i32).
+
+    Radix-4 merges: each level concatenates four neighbors with three
+    cumulative shifts — same shift work as two binary levels but HALF the
+    pad/slice relayout rounds, which dominate level cost on TPU. Element
+    counts are padded up to radix multiples with zero-LENGTH elements;
+    a zero-length tail contributes nothing wherever it lands, so no
+    odd-carry branches exist."""
     cb, nb = words_t.shape
     bits = bits.astype(jnp.int32)
     words, n, c = words_t, nb, cb
 
     # Phase A: transposed merges while capacity is lane-unfriendly.
-    while n > 1 and 2 * c < _FLIP_C:
-        c_next = 2 * c
-        half = n // 2
-        a_w = jnp.pad(words[:, 0 : 2 * half : 2], ((0, c_next - c), (0, 0)))
-        b_w = jnp.pad(words[:, 1 : 2 * half : 2], ((0, c_next - c), (0, 0)))
-        a_l = bits[0 : 2 * half : 2]
-        b_l = bits[1 : 2 * half : 2]
-        merged = a_w | _shift_right_bits_t(b_w, a_l)
-        mbits = a_l + b_l
-        if n % 2:
-            merged = jnp.concatenate(
-                [merged, jnp.pad(words[:, -1:], ((0, c_next - c), (0, 0)))], axis=1
+    while n > 1 and radix * c < _FLIP_C:
+        r = radix if n > 2 else 2
+        c_next = r * c
+        n_pad = -(-n // r) * r
+        if n_pad != n:
+            words = jnp.pad(words, ((0, 0), (0, n_pad - n)))
+            bits = jnp.pad(bits, (0, n_pad - n))
+        parts_w = [words[:, i::r] for i in range(r)]
+        parts_l = [bits[i::r] for i in range(r)]
+        merged = jnp.pad(parts_w[0], ((0, c_next - c), (0, 0)))
+        off = parts_l[0]
+        for i in range(1, r):
+            merged = merged | _shift_right_bits_t(
+                jnp.pad(parts_w[i], ((0, c_next - c), (0, 0))), off
             )
-            mbits = jnp.concatenate([mbits, bits[-1:]])
-        words, bits, n, c = merged, mbits, merged.shape[1], c_next
+            off = off + parts_l[i]
+        words, bits, n, c = merged, off, n_pad // r, c_next
 
     rows = words.T  # [n, c] row-major for the large-capacity top levels
 
     # Phase B: row-major merges.
     while n > 1:
-        c_next = 2 * c
-        half = n // 2
-        a_w = jnp.pad(rows[0 : 2 * half : 2], ((0, 0), (0, c_next - c)))
-        b_w = jnp.pad(rows[1 : 2 * half : 2], ((0, 0), (0, c_next - c)))
-        a_l = bits[0 : 2 * half : 2]
-        b_l = bits[1 : 2 * half : 2]
-        merged = a_w | _shift_right_bits_r(b_w, a_l)
-        mbits = a_l + b_l
-        if n % 2:
-            merged = jnp.concatenate(
-                [merged, jnp.pad(rows[-1:], ((0, 0), (0, c_next - c)))], axis=0
+        r = radix if n > 2 else 2
+        c_next = r * c
+        n_pad = -(-n // r) * r
+        if n_pad != n:
+            rows = jnp.pad(rows, ((0, n_pad - n), (0, 0)))
+            bits = jnp.pad(bits, (0, n_pad - n))
+        parts_w = [rows[i::r] for i in range(r)]
+        parts_l = [bits[i::r] for i in range(r)]
+        merged = jnp.pad(parts_w[0], ((0, 0), (0, c_next - c)))
+        off = parts_l[0]
+        for i in range(1, r):
+            merged = merged | _shift_right_bits_r(
+                jnp.pad(parts_w[i], ((0, 0), (0, c_next - c))), off
             )
-            mbits = jnp.concatenate([mbits, bits[-1:]])
-        rows, bits, n, c = merged, mbits, merged.shape[0], c_next
+            off = off + parts_l[i]
+        rows, bits, n, c = merged, off, n_pad // r, c_next
 
     total_bits = bits[0]
     return rows.reshape(-1)[: nb * cb], total_bits
