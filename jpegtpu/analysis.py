@@ -43,24 +43,33 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
 
 
 def ssim(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
-    """Structural similarity, Gaussian-window (sigma 1.5), K1/K2 defaults —
-    the formulation scikit-image's default ssim implements (the reference
-    calls it at analyze_results.py:84)."""
-    from scipy.ndimage import gaussian_filter
+    """Structural similarity with scikit-image's DEFAULT settings (7x7
+    uniform window, sample covariance, border crop) — the exact call the
+    reference makes (analyze_results.py:84), reimplemented on scipy since
+    scikit-image is absent here. Verified against the reference report's
+    Table 4.1 SSIM column."""
+    from scipy.ndimage import uniform_filter
 
     a = a.astype(np.float64)
     b = b.astype(np.float64)
+    win = 7
+    nper = win * win
+    cov_norm = nper / (nper - 1)  # sample covariance
     c1 = (0.01 * peak) ** 2
     c2 = (0.03 * peak) ** 2
-    sigma = 1.5
-    mu_a = gaussian_filter(a, sigma)
-    mu_b = gaussian_filter(b, sigma)
-    var_a = gaussian_filter(a * a, sigma) - mu_a * mu_a
-    var_b = gaussian_filter(b * b, sigma) - mu_b * mu_b
-    cov = gaussian_filter(a * b, sigma) - mu_a * mu_b
-    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
-    den = (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
-    return float(np.mean(num / den))
+    ux = uniform_filter(a, win)
+    uy = uniform_filter(b, win)
+    uxx = uniform_filter(a * a, win)
+    uyy = uniform_filter(b * b, win)
+    uxy = uniform_filter(a * b, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux**2 + uy**2 + c1) * (vx + vy + c2)
+    )
+    pad = (win - 1) // 2
+    return float(s[pad:-pad, pad:-pad].mean())
 
 
 def analyze_pair(

@@ -51,6 +51,39 @@ def _cmd_analyze(args) -> int:
     return 0
 
 
+def _cmd_analyze_dir(args) -> int:
+    """Batch driver: for each <input_dir>/*.bmp with a matching compressed
+    file in <output_dir>, analyze and (optionally) render a difference map
+    — the reference's run_analysis.sh:13-34 loop."""
+    import glob
+    import os
+
+    from .analysis import analyze_pair, format_report
+
+    n = 0
+    for bmp_path in sorted(glob.glob(os.path.join(args.input_dir, "*.bmp"))):
+        stem = os.path.splitext(os.path.basename(bmp_path))[0]
+        comp = None
+        for ext in (".jpeg", ".jpg"):
+            cand = os.path.join(args.output_dir, stem + ext)
+            if os.path.exists(cand):
+                comp = cand
+                break
+        if comp is None:
+            continue
+        diff = None
+        if args.difference_dir:
+            os.makedirs(args.difference_dir, exist_ok=True)
+            diff = os.path.join(args.difference_dir, stem + ".png")
+        print(format_report(analyze_pair(bmp_path, comp, diff_path=diff)))
+        print()
+        n += 1
+    if n == 0:
+        print("no matching (input.bmp, output.jpeg) pairs found", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jpegtpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -74,6 +107,15 @@ def main(argv=None) -> int:
     ana.add_argument("compressed")
     ana.add_argument("-o", "--output", default=None, help="difference-map PNG")
     ana.set_defaults(fn=_cmd_analyze)
+
+    bat = sub.add_parser(
+        "analyze-dir",
+        help="batch analysis over a corpus (the reference's run_analysis.sh)",
+    )
+    bat.add_argument("input_dir")
+    bat.add_argument("output_dir")
+    bat.add_argument("-d", "--difference-dir", default=None)
+    bat.set_defaults(fn=_cmd_analyze_dir)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -95,9 +95,17 @@ def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
         cr = color.subsample_420(cr)
 
     def component_levels(chan, qt):
-        b = blocks.blockify(color.level_shift(chan))
-        coeffs = dct.dct_blocks(b, basis)
-        return zigzag.zigzag_scan(quant.quantize(coeffs, qt))
+        # Tiled block-diagonal MXU transform (same fast path as grayscale);
+        # channels are 8-aligned already, pad to tile multiples in-graph.
+        from .ops import fused_transform
+
+        ch, cw = chan.shape
+        th, tw = fused_transform.padded_dims_tile(ch, cw)
+        if (th, tw) != (ch, cw):
+            chan = jnp.pad(chan, ((0, th - ch), (0, tw - cw)), mode="edge")
+        return fused_transform.transform_tiled(
+            chan, qt, bitexact=cfg.bitexact, out_blocks=(ch // 8, cw // 8)
+        )
 
     zy = component_levels(y, qt_luma)
     zcb = component_levels(cb, qt_chroma)

@@ -59,6 +59,7 @@ def test_analysis_of_reference_output_matches_report():
     r = analysis.analyze_pair(orig, comp)
     assert abs(r.mse - 26.85) < 0.1
     assert abs(r.psnr_db - 33.84) < 0.05
+    assert abs(r.ssim - 0.8997) < 0.0005
     assert abs(r.compression_ratio - 50.9) < 0.5
 
 
