@@ -69,7 +69,9 @@ def main():
         if host_stuff:
             from jpegtpu import native
 
-            words, total_bits = pipeline.fetch_stream_words(out, count, overflow)
+            words, total_bits = pipeline.fetch_stream_words(
+                out, count, overflow, spec_key=(ph, pw, "bench")
+            )
             assert words is not None, "capacity overflow in bench image"
             seg = native.words_to_stuffed(words, total_bits)
         else:

@@ -153,19 +153,37 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     return jfif.assemble(w, h, config, segments)
 
 
-_SPEC_BYTES = 1 << 21  # speculative first-fetch: 2 MB covers typical streams
+_SPEC_BYTES = 1 << 21  # default speculation when no history exists
+_spec_history: dict = {}  # fetch-site key -> last stream words (adaptive)
 
 
-def fetch_stream_words(buf, total_bits_dev, overflow_dev):
+def _spec_bucket(words: int) -> int:
+    """Round a word count up to a ~1.5x-geometric bucket so only O(20)
+    distinct slice executables ever compile."""
+    b = 1 << 14  # 64 KB
+    while b < words:
+        b = b * 3 // 2
+    return b
+
+
+def fetch_stream_words(buf, total_bits_dev, overflow_dev, spec_key=None):
     """One-roundtrip fetch of (overflow, total_bits, stream words).
 
     Through a remote device transport every host<->device interaction
-    costs a fixed round trip (~30 ms here), so reading overflow + length
-    first and the valid prefix second triples the latency. Instead fetch
-    everything with a speculative fixed-size prefix in ONE device_get;
-    only streams larger than the speculation pay a second fetch.
+    costs a fixed round trip (~30 ms here) and bandwidth is scarce, so
+    reading overflow + length first and the valid prefix second triples
+    the latency, while downloading a fixed worst-case prefix wastes
+    bandwidth. Fetch everything in ONE device_get with a speculative
+    prefix sized from the previous stream at this fetch site (same
+    image shape/config -> almost identical size); only streams larger
+    than the speculation pay a second fetch.
     Returns (words or None-if-overflowed, total_bits)."""
-    spec_words = min(_SPEC_BYTES // 4, buf.shape[0])
+    hist = _spec_history.get(spec_key) if spec_key is not None else None
+    if hist is None:
+        spec_words = _SPEC_BYTES // 4
+    else:
+        spec_words = _spec_bucket(hist + hist // 4)
+    spec_words = min(spec_words, buf.shape[0])
     overflow, total_bits, head = jax.device_get(
         (overflow_dev, total_bits_dev, buf[:spec_words])
     )
@@ -173,6 +191,8 @@ def fetch_stream_words(buf, total_bits_dev, overflow_dev):
         return None, 0
     total_bits = int(total_bits)
     nwords = (total_bits + 31) // 32
+    if spec_key is not None:
+        _spec_history[spec_key] = nwords
     if nwords <= spec_words:
         return head[:nwords], total_bits
     rest = fetch_prefix_words(buf[spec_words:], nwords - spec_words)
@@ -213,7 +233,9 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
         if host_stuff:
             from . import native
 
-            words, total_bits = fetch_stream_words(out, count, overflowed)
+            words, total_bits = fetch_stream_words(
+                out, count, overflowed, spec_key=(ph, pw, config)
+            )
             if words is not None:
                 return native.words_to_stuffed(words, total_bits)
         elif not bool(overflowed):
