@@ -193,8 +193,44 @@ def _block_reduce(words, bits, e, c, cap_words_per_block, nb):
     return words, bits, overflow  # words TRANSPOSED [cap, nb]
 
 
+def _deposit_concat(rows: jnp.ndarray, bits: jnp.ndarray, out_words: int):
+    """Concatenate a FEW large elements by sequential deposit.
+
+    rows [n, c] MSB-aligned, bits [n]. Computes each element's absolute
+    bit offset by prefix sum, then a fori_loop ORs each element (shifted
+    by its sub-word residue) into the output via dynamic_update_slice —
+    XLA keeps the buffer in-place across iterations, so the cost is one
+    (c+1)-word read-modify-write per element. This replaces the tree's
+    top levels, whose barrel depth (log2 of a megaword capacity) makes
+    them the most expensive — here every element is shifted ONCE by a
+    scalar residue instead of log2(C) times by vector amounts.
+    Returns (stream [out_words], total_bits)."""
+    n, c = rows.shape
+    bits = bits.astype(jnp.int32)
+    ends = jnp.cumsum(bits)
+    offs = ends - bits
+    out0 = jnp.zeros(out_words + c + 1, jnp.uint32)
+
+    def body(i, out):
+        row = jax.lax.dynamic_slice(rows, (i, 0), (1, c))[0]
+        off = offs[i]
+        wo = off >> 5
+        ra = (off & 31).astype(jnp.uint32)
+        t = jnp.clip(32 - ra, 0, 31)
+        hi = row >> ra
+        prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), row[:-1]])
+        body_w = hi | jnp.where(ra == 0, 0, prev << t)
+        tail_w = jnp.where(ra == 0, 0, row[-1:] << t)
+        seg = jnp.concatenate([body_w, tail_w])
+        cur = jax.lax.dynamic_slice(out, (wo,), (c + 1,))
+        return jax.lax.dynamic_update_slice(out, cur | seg, (wo,))
+
+    out = jax.lax.fori_loop(0, n, body, out0)
+    return out[:out_words], ends[-1]
+
+
 def concat_blocks_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
-                       radix: int = 4):
+                       radix: int = 4, deposit_threshold: int = 256):
     """Concatenate per-block packed streams (transposed [CB, nb]) into one
     stream. Returns (stream_words [nb * CB] u32, total_bits i32).
 
@@ -209,7 +245,7 @@ def concat_blocks_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
     words, n, c = words_t, nb, cb
 
     # Phase A: transposed merges while capacity is lane-unfriendly.
-    while n > 1 and radix * c < _FLIP_C:
+    while n > deposit_threshold and radix * c < _FLIP_C:
         r = radix if n > 2 else 2
         c_next = r * c
         n_pad = -(-n // r) * r
@@ -229,8 +265,9 @@ def concat_blocks_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
 
     rows = words.T  # [n, c] row-major for the large-capacity top levels
 
-    # Phase B: row-major merges.
-    while n > 1:
+    # Phase B: row-major merges until few enough elements remain for the
+    # sequential deposit to win.
+    while n > deposit_threshold:
         r = radix if n > 2 else 2
         c_next = r * c
         n_pad = -(-n // r) * r
@@ -248,8 +285,9 @@ def concat_blocks_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
             off = off + parts_l[i]
         rows, bits, n, c = merged, off, n_pad // r, c_next
 
-    total_bits = bits[0]
-    return rows.reshape(-1)[: nb * cb], total_bits
+    if n == 1:
+        return rows.reshape(-1)[: nb * cb], bits[0]
+    return _deposit_concat(rows, bits, nb * cb)
 
 
 def pack_bits_tree(values: jnp.ndarray, lengths: jnp.ndarray,
