@@ -24,7 +24,7 @@ from .config import EncodeConfig
 from .entropy import device as entropy_device
 from .entropy import host as entropy_host
 from .io import jfif
-from .ops import blocks, color, dct, quant, zigzag
+from .ops import color
 
 
 def padded_dims_color(h: int, w: int, subsampling: str) -> tuple[int, int]:

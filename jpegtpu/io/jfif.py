@@ -15,7 +15,7 @@ natural_c (jpeg_handler.c:226) rather than the DSP client's padded dims.
 from __future__ import annotations
 
 import struct
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

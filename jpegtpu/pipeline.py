@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import tables
 from .config import EncodeConfig
 from .io import bmp, jfif
 from .entropy import device as entropy_device
