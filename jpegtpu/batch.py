@@ -58,10 +58,16 @@ def _bucket_batch(n: int) -> int:
 
 
 def encode_grayscale_batch(
-    images: list[np.ndarray], config: EncodeConfig | None = None
+    images: list[np.ndarray],
+    config: EncodeConfig | None = None,
+    mesh=None,
 ) -> list[bytes]:
     """Encode a list of uint8 images ([H,W] or [H,W,3]) to grayscale JFIF
-    streams in one-or-few device dispatches. Returns files in input order."""
+    streams in one-or-few device dispatches. Returns files in input order.
+
+    mesh: optional 1-D jax.sharding.Mesh — the batch axis shards across
+    its devices (data parallelism over images, SURVEY.md §2.4): each chip
+    encodes its images independently, no collectives at all."""
     config = config or EncodeConfig()
     host_stuff = config.stuff == "host" and pipeline._native_available()
 
@@ -83,9 +89,19 @@ def encode_grayscale_batch(
                 img = np.pad(img, pad, mode="edge")
             batch.append(img)
         bsz = _bucket_batch(len(batch))
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            bsz = -(-bsz // n_dev) * n_dev
         while len(batch) < bsz:
             batch.append(np.zeros_like(batch[0]))
         arr = jnp.asarray(np.stack(batch))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            arr = jax.device_put(
+                arr, NamedSharding(mesh, PartitionSpec(axis))
+            )
 
         for cap in (
             config.capacity_words_per_block,

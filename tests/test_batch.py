@@ -29,6 +29,18 @@ def test_batch_matches_single():
         assert got[i] == pipeline.encode_grayscale(img, cfg), f"image {i}"
 
 
+def test_batch_data_parallel_over_mesh():
+    """Batch axis sharded across the 8-device mesh must produce identical
+    files to the single-device batch (pure DP, no collectives)."""
+    from jpegtpu.parallel.sharding import make_mesh
+
+    images = [_img(40, 40, s) for s in range(6)]
+    cfg = EncodeConfig()
+    plain = batch.encode_grayscale_batch(images, cfg)
+    sharded = batch.encode_grayscale_batch(images, cfg, mesh=make_mesh(8))
+    assert sharded == plain
+
+
 def test_batch_bucket_padding_images_ignored():
     """Batch sizes are padded to powers of two with dummy images; the
     dummies must not leak into results (3 images -> bucket of 4)."""
