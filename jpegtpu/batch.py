@@ -48,6 +48,9 @@ def _batch_encode_fn(
             capacity_words=nb * cap_words_per_block,
             pad_ones=cfg.pad_ones,
             stuff=stuff,
+            # Under vmap the sequential-deposit concat's per-image dynamic
+            # offsets lower to scatters — force the pure tree instead.
+            deposit_threshold=1,
         )
 
     return jax.jit(jax.vmap(one))

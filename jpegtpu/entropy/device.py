@@ -340,6 +340,7 @@ def encode_scan_device(
     pad_ones: bool = True,
     packer: str = "tree",
     stuff: bool = True,
+    deposit_threshold: int = 256,
 ):
     """Full on-device entropy encode of one scan segment.
 
@@ -363,7 +364,8 @@ def encode_scan_device(
         values, lengths = symbolize_elements64(zz, table_sel, dc_diff, seg_len)
         cap_per_block = max(1, capacity_words // nb)
         words, total_bits, overflow = treepack.pack_slots_tree(
-            values, lengths, cap_per_block, pad_ones, c0=3
+            values, lengths, cap_per_block, pad_ones, c0=3,
+            deposit_threshold=deposit_threshold,
         )
         if not stuff:
             # Caller finishes on host (native.words_to_stuffed) — saves the

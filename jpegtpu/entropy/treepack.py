@@ -112,7 +112,8 @@ def _fuse_subslots(values: jnp.ndarray, lengths: jnp.ndarray, c_out: int = 2):
 
 def pack_slots_tree(values3: jnp.ndarray, lengths3: jnp.ndarray,
                     cap_words_per_block: int, pad_ones: bool = True,
-                    c0: int | None = None, block_packer: str = "auto"):
+                    c0: int | None = None, block_packer: str = "auto",
+                    deposit_threshold: int = 256):
     """Pack [nb, E, K] sub-slot codes (emission order element-major then
     sub-slot) into one stream. The K sub-slots fuse elementwise; the
     block-internal reduction runs either as the Pallas vectorized
@@ -139,7 +140,9 @@ def pack_slots_tree(values3: jnp.ndarray, lengths3: jnp.ndarray,
         bw_t, bb, overflow = _block_reduce(
             words_t, bits_t, e, c0, cap_words_per_block, nb
         )
-    stream, total = concat_blocks_tree(bw_t, bb)
+    stream, total = concat_blocks_tree(
+        bw_t, bb, deposit_threshold=deposit_threshold
+    )
     stream, total = _apply_tail_padding(stream, total, pad_ones)
     return stream, total, overflow
 
