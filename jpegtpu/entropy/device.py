@@ -8,18 +8,24 @@ bytes — runs on device and only the final compressed bytes cross the host
 boundary (SURVEY.md §7.1 step 3).
 
 Design:
-  * Symbolization is per-lane slot assignment. Each 8x8 block maps to a
-    fixed [65, 3] slot grid: lane 0 carries the DC code, lanes 1..63 carry
-    up to two ZRL sub-slots plus the (run,size)+amplitude code of that AC
-    lane, lane 64 carries the EOB. Every slot value fits 32 bits (max
-    26 = 16-bit Huffman code + 10 amplitude bits; a ZRL pair is 22).
-    Empty slots have length 0 and vanish in the bit-offset prefix sum, so
-    no compaction / ragged shapes are ever materialized (SURVEY.md §7.4 #4).
-  * Bit packing is an exclusive cumsum of slot bit lengths (every slot then
-    knows its absolute bit offset) followed by a scatter-add of each slot's
-    one-or-two 32-bit word contributions. Contributions are bit-disjoint,
-    so add == bitwise-or. Byte stuffing (0xFF -> 0xFF 00) is a second
-    prefix-sum + scatter pass.
+  * Symbolization is per-lane slot assignment: dense fixed-shape tensors
+    of (Huffman-code value, bit length) pairs in exact emission order.
+    Two layouts: [nb, 65, 3] (symbolize_slots, the scatter packer's) and
+    the power-of-two [nb, 64, 5] (symbolize_elements64: DC fused into
+    element 0, EOB into element 62 — every element <= 83 bits). Empty
+    slots have length 0 and contribute nothing, so no compaction /
+    ragged shapes are ever materialized (SURVEY.md §7.4 #4).
+  * Bit packing (default `packer="tree"`): the sub-slots fuse
+    elementwise into 3-word elements, a Pallas kernel packs each block's
+    64 elements (entropy.pallas_pack), and the per-block streams merge
+    in a log-depth shift-or reduction (entropy.treepack). Stuffing runs
+    on-device (prefix-sum + scatter) or, by default, on the host via the
+    native C++ runtime (caller passes stuff=False).
+  * `packer="scatter"` keeps the direct formulation — exclusive cumsum
+    of slot bit lengths, then a scatter-add of each slot's one-or-two
+    word contributions (bit-disjoint, so add == or). Simpler, slower
+    (TPU scatters retire ~1 element / ~35 cycles); retained as the
+    cross-check implementation.
 
 Everything is shape-static under jit; the only dynamic quantity is the
 returned byte count.
