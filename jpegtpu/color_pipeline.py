@@ -201,10 +201,106 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
     zz, table_sel, comp_id = color_coefficients(image, config)
+    segment_ids = None
+    if config.restart_interval:
+        # restart interval counts MCUs; map each block slot to its MCU
+        slots_per_mcu = 6 if config.subsampling == "420" else 3
+        mcu_of_slot = np.arange(zz.shape[0]) // slots_per_mcu
+        segment_ids = mcu_of_slot // config.restart_interval
     segments = entropy_host.encode_scan(
         zz,
         table_sel=table_sel.astype(np.int64),
         comp_id=comp_id,
+        segment_ids=segment_ids,
         pad_ones=config.pad_ones,
     )
     return jfif.assemble(w, h, config, segments)
+
+
+def encode_color_sharded(
+    image: np.ndarray,
+    config: EncodeConfig | None = None,
+    mesh=None,
+) -> bytes:
+    """Multi-chip color encode: MCU-row shards, shard == restart segment.
+
+    Same contract as parallel.sharding.encode_grayscale_sharded but for
+    the interleaved YCbCr scan: each chip transforms its horizontal band
+    (16 pixel rows per MCU row for 4:2:0, 8 for 4:4:4), runs its own
+    per-component DC chains (reset at the restart boundary), and packs an
+    independent byte-aligned segment; the host stitches
+    seg_0 || RST_0 || seg_1 || ... with DRI = MCUs per shard."""
+    import jax as _jax
+
+    from .parallel.sharding import make_mesh
+
+    config = config or EncodeConfig(subsampling="420")
+    mesh = mesh or make_mesh()
+    n = mesh.devices.size
+    if image.ndim == 2:
+        image = np.repeat(image[..., None], 3, axis=-1)
+    h, w = image.shape[:2]
+    mcu_rows = 16 if config.subsampling == "420" else 8
+    band = mcu_rows * n
+    ph = -(-h // band) * band
+    pw = padded_dims_color(h, w, config.subsampling)[1]
+    if (ph, pw) != (h, w):
+        image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
+
+    for cap in (config.capacity_words_per_block, entropy_device.MAX_WORDS_PER_BLOCK):
+        fn = _sharded_color_fn(mesh, ph, pw, config, cap)
+        bufs, nbytes, overflow = _jax.device_get(fn(jnp.asarray(image)))
+        if not overflow.any():
+            break
+    else:
+        raise AssertionError("worst-case entropy capacity overflowed (bug)")
+
+    mcu_per_shard = (ph // n // mcu_rows) * (pw // mcu_rows)
+    restart_cfg = EncodeConfig(
+        quality=config.quality,
+        subsampling=config.subsampling,
+        restart_interval=mcu_per_shard,
+        pad_ones=config.pad_ones,
+        bitexact=config.bitexact,
+    )
+    segments = [bufs[i, : int(nbytes[i])].tobytes() for i in range(n)]
+    return jfif.assemble(w, h, restart_cfg, segments)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
+                      cap_words_per_block: int):
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.devices.size
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    ph_local = ph // n
+    gather_idx, table_sel, comp_id = _scan_layout(ph_local, pw, cfg.subsampling)
+    nslots = gather_idx.shape[0]
+    cap = nslots * cap_words_per_block
+
+    def local_encode(img_local):
+        zz = _color_levels(
+            img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        )
+        dc_diff = _per_component_dc_diff(zz[:, 0], comp_id)
+        buf, nbytes, overflow = entropy_device.encode_scan_device(
+            zz,
+            table_sel=jnp.asarray(table_sel),
+            dc_diff=dc_diff,
+            capacity_words=cap,
+            pad_ones=cfg.pad_ones,
+        )
+        return buf[None, :], nbytes[None], overflow[None]
+
+    sharded = jax.shard_map(
+        local_encode,
+        mesh=mesh,
+        in_specs=P("shard", None, None),
+        out_specs=(P("shard", None), P("shard"), P("shard")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,53 @@
+"""Multi-chip color encode on the virtual mesh."""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpegtpu import color_pipeline
+from jpegtpu.config import EncodeConfig
+from jpegtpu.parallel.sharding import make_mesh
+
+
+def _rgb(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [(xx * 1.3) % 256, (yy * 1.7) % 256, ((xx + yy) * 0.9) % 256], axis=-1
+    )
+    return np.clip(base + rng.normal(0, 9, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling,n", [("420", 4), ("444", 8)])
+def test_sharded_color_equals_host_restart_stream(subsampling, n):
+    """For shard-aligned dims the sharded color encode must be
+    byte-identical to the host coder at restart_interval = MCUs/shard."""
+    mcu = 16 if subsampling == "420" else 8
+    h, w = mcu * n * 2, mcu * 4
+    img = _rgb(h, w)
+    got = color_pipeline.encode_color_sharded(
+        img, EncodeConfig(subsampling=subsampling), mesh=make_mesh(n)
+    )
+    mcu_per_shard = (h // n // mcu) * (w // mcu)
+    want = color_pipeline.encode_color(
+        img,
+        EncodeConfig(
+            subsampling=subsampling,
+            restart_interval=mcu_per_shard,
+            entropy="host",
+        ),
+    )
+    assert got == want
+
+
+def test_sharded_color_decodes_like_single_chip():
+    img = _rgb(100, 120, seed=3)
+    single = color_pipeline.encode_color(img, EncodeConfig(subsampling="420"))
+    shard = color_pipeline.encode_color_sharded(
+        img, EncodeConfig(subsampling="420"), mesh=make_mesh(8)
+    )
+    a = np.asarray(Image.open(io.BytesIO(single)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(shard)).convert("RGB"))
+    assert a.shape == b.shape == img.shape
+    np.testing.assert_array_equal(a, b)
