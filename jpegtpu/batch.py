@@ -51,6 +51,7 @@ def _batch_encode_fn(
             # Under vmap the sequential-deposit concat's per-image dynamic
             # offsets lower to scatters — force the pure tree instead.
             deposit_threshold=1,
+            fused=False,
         )
 
     return jax.jit(jax.vmap(one))

@@ -347,6 +347,7 @@ def encode_scan_device(
     packer: str = "tree",
     stuff: bool = True,
     deposit_threshold: int = 256,
+    fused: bool = True,
 ):
     """Full on-device entropy encode of one scan segment.
 
@@ -367,12 +368,30 @@ def encode_scan_device(
     if packer == "tree":
         from . import treepack
 
-        values, lengths = symbolize_elements64(zz, table_sel, dc_diff, seg_len)
         cap_per_block = max(1, capacity_words // nb)
-        words, total_bits, overflow = treepack.pack_slots_tree(
-            values, lengths, cap_per_block, pad_ones, c0=3,
-            deposit_threshold=deposit_threshold,
-        )
+        if fused and isinstance(table_sel, int) and cap_per_block <= 16:
+            # Fully fused Pallas path: zigzag levels -> packed per-block
+            # streams in one kernel (no slot tensors materialized).
+            from . import pallas_pack
+
+            if dc_diff is None:
+                dc_diff = dc_differences(zz.astype(jnp.int32)[:, 0], seg_len)
+            bw_t, bb, overflow = pallas_pack.encode_blocks_pallas(
+                zz, dc_diff, cap=cap_per_block, table=table_sel,
+                interpret=jax.default_backend() == "cpu",
+            )
+            words, total_bits = treepack.concat_blocks_tree(
+                bw_t, bb, deposit_threshold=deposit_threshold
+            )
+            words, total_bits = treepack._apply_tail_padding(
+                words, total_bits, pad_ones
+            )
+        else:
+            values, lengths = symbolize_elements64(zz, table_sel, dc_diff, seg_len)
+            words, total_bits, overflow = treepack.pack_slots_tree(
+                values, lengths, cap_per_block, pad_ones, c0=3,
+                deposit_threshold=deposit_threshold,
+            )
         if not stuff:
             # Caller finishes on host (native.words_to_stuffed) — saves the
             # byte-level scatter pass on device.

@@ -89,6 +89,219 @@ def _pack_kernel(w_ref, l_ref, out_ref, bits_ref, *, cap: int, n_elem: int):
     bits_ref[0] = widx * 32 + cnt
 
 
+def _select_cascade(idx, consts):
+    """Vectorized lookup of a small static table: out[lane] = consts[idx[lane]]
+    via a chain of compare-selects (no gather exists on the VPU)."""
+    out = jnp.zeros_like(idx, dtype=jnp.int32) + int(consts[0])
+    for k in range(1, len(consts)):
+        out = jnp.where(idx == k, int(consts[k]), out)
+    return out
+
+
+def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
+                   tables_pack):
+    """Fused symbolize + pack: zigzag levels -> per-block packed streams.
+
+    zz_ref [64, 8, 128] i32 (coefficient-major, blocks on lanes),
+    dcd_ref [1, 8, 128] i32 (precomputed DC differences — the global chain
+    crosses grid steps), out_ref [cap, 8, 128] u32, bits_ref [1, 8, 128].
+
+    The reference's per-coefficient walk (rle.c:84-123) vectorizes over
+    1024 blocks: the zero-run length is a loop carry, magnitude category
+    is a compare ladder (clz is unavailable in-kernel), and the AC
+    Huffman table is a static select cascade over (run, size). Emission
+    order per block: DC, then per nonzero AC lane its ZRLs + symbol, then
+    EOB — identical bits to symbolize_elements64 + pack_blocks_pallas.
+    """
+    dc_pack, ac_pack, zrl_code, zrl_len, eob_code, eob_len = tables_pack
+    shp = (SUBLANES, LANES)
+    zero_u = jnp.zeros(shp, jnp.uint32)
+
+    def size_of(mag):
+        s = jnp.zeros(shp, jnp.int32)
+        for k in range(11):
+            s = s + (mag >= (1 << k)).astype(jnp.int32)
+        return s
+
+    def append(state, val, ln):
+        """Append (val, ln<=32 bits) to the accumulator; retire one word.
+        Callers appending >32-bit logical units call this repeatedly; a
+        single append adds <= 32 bits to a residue < 32, so ONE retire
+        check suffices."""
+        acc, cnt, widx, frame = state
+        s = cnt.astype(jnp.uint32)
+        t = jnp.clip(32 - cnt, 0, 31).astype(jnp.uint32)
+        nzc = cnt > 0
+        msb = jnp.where(ln > 0, val << jnp.clip(32 - ln, 0, 31).astype(jnp.uint32), 0)
+        e0 = msb >> s
+        e1 = jnp.where(nzc, msb << t, 0)
+        acc = (acc[0] | e0, acc[1] | e1, acc[2], acc[3])
+        cnt = cnt + ln
+        m = cnt >= 32
+        word = jnp.where(m, acc[0], 0)
+        frame = tuple(frame[j] | jnp.where(widx == j, word, 0) for j in range(cap))
+        acc = (
+            jnp.where(m, acc[1], acc[0]),
+            jnp.where(m, acc[2], acc[1]),
+            jnp.where(m, acc[3], acc[2]),
+            jnp.where(m, zero_u, acc[3]),
+        )
+        widx = widx + m.astype(jnp.int32)
+        cnt = cnt - 32 * m.astype(jnp.int32)
+        return acc, cnt, widx, frame
+
+    def code_for(run, size, packed):
+        """(run, size) -> packed (code << 6 | len) via the select cascade."""
+        out = jnp.zeros(shp, jnp.int32)
+        for r in range(packed.shape[0]):
+            row = _select_cascade(size, packed[r])
+            out = jnp.where(run == r, row, out)
+        return out
+
+    # --- DC (element 0 of the emission order) ---
+    dcd = dcd_ref[0]
+    dmag = jnp.abs(dcd)
+    dsize = size_of(dmag)
+    damp = jnp.where(dcd > 0, dcd, dcd - 1).astype(jnp.uint32) & (
+        (jnp.uint32(1) << dsize.astype(jnp.uint32)) - 1
+    )
+    dpk = _select_cascade(dsize, dc_pack)
+    dcode = (dpk >> 6).astype(jnp.uint32)
+    dlen = dpk & 63
+    state = (
+        (zero_u, zero_u, zero_u, zero_u),
+        jnp.zeros(shp, jnp.int32),
+        jnp.zeros(shp, jnp.int32),
+        tuple(zero_u for _ in range(cap)),
+    )
+    state = append(state, dcode, dlen)
+    state = append(state, damp, dsize)
+
+    zrl_val = jnp.full(shp, zrl_code, jnp.uint32)
+    zl = jnp.full(shp, zrl_len, jnp.int32)
+
+    def body(k, carry):
+        state, run = carry
+        v = zz_ref[k]
+        nz = v != 0
+        mag = jnp.abs(v)
+        size = size_of(mag)
+        # up to three ZRLs for runs >= 16
+        acc_run = run
+        for _ in range(3):
+            emit_zrl = nz & (acc_run >= 16)
+            state = append(
+                state,
+                jnp.where(emit_zrl, zrl_val, 0),
+                jnp.where(emit_zrl, zl, 0),
+            )
+            acc_run = jnp.where(emit_zrl, acc_run - 16, acc_run)
+        pk = code_for(jnp.where(nz, acc_run, 0), jnp.where(nz, size, 0), ac_pack)
+        code = (pk >> 6).astype(jnp.uint32)
+        clen = jnp.where(nz, pk & 63, 0)
+        amp = jnp.where(v > 0, v, v - 1).astype(jnp.uint32) & (
+            (jnp.uint32(1) << size.astype(jnp.uint32)) - 1
+        )
+        state = append(state, code, clen)
+        state = append(state, jnp.where(nz, amp, 0), jnp.where(nz, size, 0))
+        run = jnp.where(nz, 0, run + 1)
+        return state, run
+
+    state, run = jax.lax.fori_loop(
+        1, 64, lambda k, c: body(k, c), (state, jnp.zeros(shp, jnp.int32))
+    )
+
+    # EOB iff the block's tail is zero
+    eobm = run > 0
+    state = append(
+        state,
+        jnp.where(eobm, jnp.uint32(eob_code), 0),
+        jnp.where(eobm, eob_len, 0),
+    )
+
+    acc, cnt, widx, frame = state
+    partial = jnp.where(cnt > 0, acc[0], 0)
+    frame = tuple(frame[j] | jnp.where(widx == j, partial, 0) for j in range(cap))
+    for j in range(cap):
+        out_ref[j] = frame[j]
+    bits_ref[0] = widx * 32 + cnt
+
+
+@functools.lru_cache(maxsize=2)
+def _kernel_tables(table: int):
+    """Static python tables for the select cascades: DC packed
+    (code << 6 | len) per size category, AC packed per (run, size)."""
+    import numpy as np
+
+    from .device import _host_luts
+
+    dc_codes, dc_lens, ac_codes, ac_lens = _host_luts()
+    dc_pack = tuple(
+        int((int(dc_codes[table, s]) << 6) | int(dc_lens[table, s]))
+        for s in range(12)
+    )
+    ac = np.zeros((16, 11), np.int64)
+    for r in range(16):
+        for s in range(11):
+            sym = (r << 4) | s
+            ac[r, s] = (int(ac_codes[table, sym]) << 6) | int(ac_lens[table, sym])
+    zrl = 0xF0
+    eob = 0x00
+    return (
+        dc_pack,
+        ac,
+        int(ac_codes[table, zrl]),
+        int(ac_lens[table, zrl]),
+        int(ac_codes[table, eob]),
+        int(ac_lens[table, eob]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "table", "interpret"))
+def encode_blocks_pallas(zz, dc_diff, cap: int = 8, table: int = 0,
+                         interpret: bool = False):
+    """Fused symbolize+pack: [nb, 64] zigzag levels (+ [nb] DC diffs) ->
+    (words [cap, nb] u32 transposed, bits [nb] i32, overflow). Grayscale /
+    single-table scans only (static `table`); color uses the XLA path."""
+    nb = zz.shape[0]
+    g = -(-nb // BLOCKS_PER_STEP)
+    npad = g * BLOCKS_PER_STEP
+    zz = jnp.pad(zz.astype(jnp.int32), ((0, npad - nb), (0, 0)))
+    dc_diff = jnp.pad(dc_diff.astype(jnp.int32), (0, npad - nb))
+    # [npad, 64] -> [G, 64, 8, 128] coefficient-major
+    zzt = zz.T.reshape(64, g, SUBLANES, LANES).transpose(1, 0, 2, 3)
+    dct_ = dc_diff.reshape(g, SUBLANES, LANES)[:, None]
+
+    tabs = _kernel_tables(table)
+
+    out, bits = pl.pallas_call(
+        functools.partial(_encode_kernel, cap=cap, tables_pack=tabs),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((None, 64, SUBLANES, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, SUBLANES, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, cap, SUBLANES, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, SUBLANES, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, cap, SUBLANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((g, 1, SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(zzt, dct_)
+
+    words_out = out.transpose(1, 0, 2, 3).reshape(cap, npad)[:, :nb]
+    bits_out = bits.reshape(-1)[:nb]
+    overflow = jnp.any(bits_out > cap * 32)
+    return words_out, bits_out, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "interpret"))
 def pack_blocks_pallas(words_t, bits_t, cap: int = 8, interpret: bool = False):
     """Fused per-lane elements -> per-block packed streams.
