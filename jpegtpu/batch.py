@@ -61,6 +61,85 @@ def _bucket_batch(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+@functools.lru_cache(maxsize=64)
+def _batch_color_fn(
+    bsz: int, ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int
+):
+    """vmapped fused color encode over a [bsz, ph, pw, 3] batch."""
+    from . import color_pipeline as cp
+
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    gather_idx, table_sel, comp_id = cp._scan_layout(ph, pw, cfg.subsampling)
+    nslots = gather_idx.shape[0]
+
+    def one(img):
+        zz = cp._color_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        )
+        dc_diff = cp._per_component_dc_diff(zz[:, 0], comp_id)
+        return entropy_device.encode_scan_device(
+            zz,
+            table_sel=jnp.asarray(table_sel),
+            dc_diff=dc_diff,
+            capacity_words=nslots * cap_words_per_block,
+            pad_ones=cfg.pad_ones,
+            deposit_threshold=1,  # deposit degenerates to scatters under vmap
+        )
+
+    return jax.jit(jax.vmap(one))
+
+
+def encode_color_batch(
+    images: list[np.ndarray], config: EncodeConfig | None = None
+) -> list[bytes]:
+    """Encode a list of RGB uint8 images to color JFIF streams in
+    one-or-few device dispatches. Returns files in input order."""
+    from . import color_pipeline as cp
+
+    config = config or EncodeConfig(subsampling="420")
+    groups = defaultdict(list)
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        ph, pw = cp.padded_dims_color(h, w, config.subsampling)
+        groups[(ph, pw)].append(i)
+
+    out: list[bytes | None] = [None] * len(images)
+    for (ph, pw), idxs in groups.items():
+        batch = []
+        for i in idxs:
+            img = images[i]
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=-1)
+            h, w = img.shape[:2]
+            if (ph, pw) != (h, w):
+                img = np.pad(img, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
+            batch.append(img)
+        bsz = _bucket_batch(len(batch))
+        while len(batch) < bsz:
+            batch.append(np.zeros_like(batch[0]))
+        arr = jnp.asarray(np.stack(batch))
+
+        for cap in (
+            config.capacity_words_per_block,
+            entropy_device.MAX_WORDS_PER_BLOCK,
+        ):
+            fn = _batch_color_fn(bsz, ph, pw, config, cap)
+            bufs, counts, overflow = jax.device_get(fn(arr))
+            if not overflow[: len(idxs)].any():
+                break
+        else:
+            raise AssertionError("worst-case entropy capacity overflowed (bug)")
+
+        for j, i in enumerate(idxs):
+            h, w = images[i].shape[:2]
+            seg = bufs[j, : int(counts[j])].tobytes()
+            out[i] = jfif.assemble(w, h, config, [seg])
+    return out  # type: ignore[return-value]
+
+
 def encode_grayscale_batch(
     images: list[np.ndarray],
     config: EncodeConfig | None = None,

@@ -41,6 +41,21 @@ def test_batch_data_parallel_over_mesh():
     assert sharded == plain
 
 
+def test_color_batch_matches_single():
+    rng = np.random.default_rng(1)
+    imgs = [
+        np.clip(rng.normal(128, 40, (48, 64, 3)), 0, 255).astype(np.uint8)
+        for _ in range(3)
+    ]
+    imgs.append(np.clip(rng.normal(100, 30, (32, 32, 3)), 0, 255).astype(np.uint8))
+    from jpegtpu import color_pipeline
+
+    cfg = EncodeConfig(subsampling="420")
+    got = batch.encode_color_batch(imgs, cfg)
+    for i, img in enumerate(imgs):
+        assert got[i] == color_pipeline.encode_color(img, cfg), f"image {i}"
+
+
 def test_batch_bucket_padding_images_ignored():
     """Batch sizes are padded to powers of two with dummy images; the
     dummies must not leak into results (3 images -> bucket of 4)."""
