@@ -32,29 +32,60 @@ def _batch_encode_fn(
     cfg: EncodeConfig,
     is_rgb: bool,
     cap_words_per_block: int,
-    stuff: bool,
+    mesh=None,
 ):
-    """vmapped fused encode over a [bsz, ph, pw(, 3)] batch."""
+    """Batched fused encode over [bsz, ph, pw(, 3)]: the transform vmaps
+    (dense), then the image axis FOLDS INTO THE BLOCK GRID — one Pallas
+    launch packs every block of every image, and the batched segment
+    concat (treepack.concat_segments_tree) produces one stream per image.
+    This keeps both headline optimizations (fused kernel + deposit top)
+    that a vmapped per-image encode loses to scatters.
+
+    Returns fn(imgs) -> (streams [bsz, nb*cap] u32, total_bits [bsz],
+    overflow). mesh: optional 1-D mesh — the batch axis shards across it
+    via shard_map (pure data parallelism, no collectives)."""
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb = (ph // 8) * (pw // 8)
 
-    def one(img):
-        zz = pipeline._gray_levels(
-            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
-        )
-        return entropy_device.encode_scan_device(
-            zz,
-            capacity_words=nb * cap_words_per_block,
+    def encode_local(imgs):
+        b = imgs.shape[0]
+        zz = jax.vmap(
+            lambda im: pipeline._gray_levels(
+                im, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
+            )
+        )(imgs)
+        flat = zz.reshape(b * nb, 64).astype(jnp.int32)
+        dcd = entropy_device.dc_differences(flat[:, 0], nb)
+        return entropy_device.encode_segments_device(
+            flat, nb, b * nb, 0, dcd, cap_words_per_block,
             pad_ones=cfg.pad_ones,
-            stuff=stuff,
-            # Under vmap the sequential-deposit concat's per-image dynamic
-            # offsets lower to scatters — force the pure tree instead.
-            deposit_threshold=1,
-            fused=False,
         )
 
-    return jax.jit(jax.vmap(one))
+    if mesh is None:
+        return jax.jit(encode_local)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def shard_fn(imgs):
+        streams, totals, overflow = encode_local(imgs)
+        return streams, totals, overflow[None]
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    def fn(imgs):
+        streams, totals, overflow = sharded(imgs)
+        return streams, totals, jnp.any(overflow)
+
+    return jax.jit(fn)
 
 
 def _bucket_batch(n: int) -> int:
@@ -63,9 +94,14 @@ def _bucket_batch(n: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _batch_color_fn(
-    bsz: int, ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int
+    bsz: int, ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
+    mesh=None,
 ):
-    """vmapped fused color encode over a [bsz, ph, pw, 3] batch."""
+    """Batched fused color encode over [bsz, ph, pw, 3]: same image-axis
+    fold as _batch_encode_fn — the per-image interleaved scan becomes one
+    flat slot axis with a bsz-tiled static table selector, so the
+    multi-table fused Pallas path and the batched segment concat both
+    apply. Returns fn(imgs) -> (streams, total_bits, overflow)."""
     from . import color_pipeline as cp
 
     basis_np = cfg.dct_basis()
@@ -74,29 +110,59 @@ def _batch_color_fn(
     gather_idx, table_sel, comp_id = cp._scan_layout(ph, pw, cfg.subsampling)
     nslots = gather_idx.shape[0]
 
-    def one(img):
-        zz = cp._color_levels(
-            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
-            jnp.asarray(qtc_np),
-        )
-        dc_diff = cp._per_component_dc_diff(zz[:, 0], comp_id)
-        return entropy_device.encode_scan_device(
-            zz,
-            table_sel=jnp.asarray(table_sel),
-            dc_diff=dc_diff,
-            capacity_words=nslots * cap_words_per_block,
-            pad_ones=cfg.pad_ones,
-            deposit_threshold=1,  # deposit degenerates to scatters under vmap
+    def encode_local(imgs):
+        b = imgs.shape[0]
+        zz = jax.vmap(
+            lambda im: cp._color_levels(
+                im, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+                jnp.asarray(qtc_np),
+            )
+        )(imgs)
+        dcd = jax.vmap(
+            lambda d: cp._per_component_dc_diff(d, comp_id)
+        )(zz[:, :, 0].astype(jnp.int32))
+        flat = zz.reshape(b * nslots, 64).astype(jnp.int32)
+        return entropy_device.encode_segments_device(
+            flat, nslots, b * nslots, np.tile(table_sel, b),
+            dcd.reshape(-1), cap_words_per_block, pad_ones=cfg.pad_ones,
         )
 
-    return jax.jit(jax.vmap(one))
+    if mesh is None:
+        return jax.jit(encode_local)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def shard_fn(imgs):
+        streams, totals, overflow = encode_local(imgs)
+        return streams, totals, overflow[None]
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    def fn(imgs):
+        streams, totals, overflow = sharded(imgs)
+        return streams, totals, jnp.any(overflow)
+
+    return jax.jit(fn)
 
 
 def encode_color_batch(
-    images: list[np.ndarray], config: EncodeConfig | None = None
+    images: list[np.ndarray],
+    config: EncodeConfig | None = None,
+    mesh=None,
 ) -> list[bytes]:
     """Encode a list of RGB uint8 images to color JFIF streams in
-    one-or-few device dispatches. Returns files in input order."""
+    one-or-few device dispatches. Returns files in input order.
+
+    mesh: optional 1-D jax.sharding.Mesh — the batch axis shards across
+    its devices (data parallelism over images)."""
     from . import color_pipeline as cp
 
     config = config or EncodeConfig(subsampling="420")
@@ -118,26 +184,39 @@ def encode_color_batch(
                 img = np.pad(img, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
             batch.append(img)
         bsz = _bucket_batch(len(batch))
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            bsz = -(-bsz // n_dev) * n_dev
         while len(batch) < bsz:
             batch.append(np.zeros_like(batch[0]))
-        arr = jnp.asarray(np.stack(batch))
+        arr = _device_batch(batch, mesh)
 
-        for cap in (
-            config.capacity_words_per_block,
-            entropy_device.MAX_WORDS_PER_BLOCK,
-        ):
-            fn = _batch_color_fn(bsz, ph, pw, config, cap)
-            bufs, counts, overflow = jax.device_get(fn(arr))
-            if not overflow[: len(idxs)].any():
+        for cap in pipeline.capacity_ladder(config):
+            fn = _batch_color_fn(bsz, ph, pw, config, cap, mesh)
+            streams, totals, overflow = fn(arr)
+            if not bool(overflow):
+                streams, totals = jax.device_get((streams, totals))
                 break
         else:
             raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
+        segs = pipeline.segments_from_streams(streams, totals)
         for j, i in enumerate(idxs):
             h, w = images[i].shape[:2]
-            seg = bufs[j, : int(counts[j])].tobytes()
-            out[i] = jfif.assemble(w, h, config, [seg])
+            out[i] = jfif.assemble(w, h, config, [segs[j]])
     return out  # type: ignore[return-value]
+
+
+def _device_batch(batch: list[np.ndarray], mesh):
+    """Stack a host batch and place it (optionally batch-sharded)."""
+    arr = jnp.asarray(np.stack(batch))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        arr = jax.device_put(
+            arr, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        )
+    return arr
 
 
 def encode_grayscale_batch(
@@ -152,7 +231,6 @@ def encode_grayscale_batch(
     its devices (data parallelism over images, SURVEY.md §2.4): each chip
     encodes its images independently, no collectives at all."""
     config = config or EncodeConfig()
-    host_stuff = config.stuff == "host" and pipeline._native_available()
 
     # bucket by (padded shape, rgb-ness)
     groups = defaultdict(list)
@@ -177,38 +255,19 @@ def encode_grayscale_batch(
             bsz = -(-bsz // n_dev) * n_dev
         while len(batch) < bsz:
             batch.append(np.zeros_like(batch[0]))
-        arr = jnp.asarray(np.stack(batch))
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+        arr = _device_batch(batch, mesh)
 
-            axis = mesh.axis_names[0]
-            arr = jax.device_put(
-                arr, NamedSharding(mesh, PartitionSpec(axis))
-            )
-
-        for cap in (
-            config.capacity_words_per_block,
-            entropy_device.MAX_WORDS_PER_BLOCK,
-        ):
-            fn = _batch_encode_fn(
-                bsz, ph, pw, config, is_rgb, cap, not host_stuff,
-            )
-            bufs, counts, overflow = jax.device_get(fn(arr))
-            if not overflow[: len(idxs)].any():
+        for cap in pipeline.capacity_ladder(config):
+            fn = _batch_encode_fn(bsz, ph, pw, config, is_rgb, cap, mesh)
+            streams, totals, overflow = fn(arr)
+            if not bool(overflow):
+                streams, totals = jax.device_get((streams, totals))
                 break
         else:
             raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
+        segs = pipeline.segments_from_streams(streams, totals)
         for j, i in enumerate(idxs):
             h, w = images[i].shape[:2]
-            if host_stuff:
-                from . import native
-
-                total_bits = int(counts[j])
-                seg = native.words_to_stuffed(
-                    bufs[j, : (total_bits + 31) // 32], total_bits
-                )
-            else:
-                seg = bufs[j, : int(counts[j])].tobytes()
-            out[i] = jfif.assemble(w, h, config, [seg])
+            out[i] = jfif.assemble(w, h, config, [segs[j]])
     return out  # type: ignore[return-value]

@@ -71,17 +71,38 @@ def _scan_layout(ph: int, pw: int, subsampling: str):
     return arr[:, 0].copy(), arr[:, 1].astype(np.int32), arr[:, 2].copy()
 
 
-def _per_component_dc_diff(dc: jnp.ndarray, comp_id: np.ndarray) -> jnp.ndarray:
+@functools.lru_cache(maxsize=64)
+def _prev_slot_map(comp_key, nslots: int, seg_slots: int):
+    """Static predecessor map for per-component DC chains: prev_idx[s] =
+    the previous scan slot of slot s's component (within s's restart
+    segment), or -1 at a chain start. comp_key is the hashable form of
+    the comp_id array (bytes)."""
+    comp_id = np.frombuffer(comp_key, dtype=np.int64)
+    prev_idx = np.full(nslots, -1, dtype=np.int64)
+    last: dict[int, int] = {}
+    for s in range(nslots):
+        if seg_slots and s % seg_slots == 0:
+            last = {}
+        c = int(comp_id[s])
+        prev_idx[s] = last.get(c, -1)
+        last[c] = s
+    has_prev = prev_idx >= 0
+    return np.where(has_prev, prev_idx, 0), has_prev
+
+
+def _per_component_dc_diff(
+    dc: jnp.ndarray, comp_id: np.ndarray, seg_slots: int = 0
+) -> jnp.ndarray:
     """DC differences where each component keeps its own predictor chain
-    along scan order. comp_id is STATIC, so the chains reduce to static
-    gather/scatter permutations — no sorting on device."""
-    diffs = jnp.zeros_like(dc)
-    for c in range(int(comp_id.max()) + 1):
-        sel = np.nonzero(comp_id == c)[0]  # static positions of chain c
-        seq = dc[sel]
-        prev = jnp.concatenate([jnp.zeros((1,), dc.dtype), seq[:-1]])
-        diffs = diffs.at[sel].set(seq - prev)
-    return diffs
+    along scan order (T.81 F.1.1.5.1), resetting every seg_slots slots
+    (restart segments; 0 = never). comp_id is STATIC, so the chains
+    reduce to one static predecessor gather — dense, vmappable."""
+    nslots = int(comp_id.shape[0])
+    gather, has_prev = _prev_slot_map(
+        comp_id.astype(np.int64).tobytes(), nslots, seg_slots
+    )
+    prev = jnp.where(jnp.asarray(has_prev), dc[jnp.asarray(gather)], 0)
+    return dc - prev
 
 
 def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
@@ -118,8 +139,14 @@ def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
 @functools.lru_cache(maxsize=64)
 def _encode_color_device(
     ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
+    stuff: bool = True,
 ):
-    """Jitted full color encode: padded RGB -> (bytes, nbytes, overflowed)."""
+    """Jitted full color encode: padded RGB -> (bytes, nbytes, overflowed).
+
+    table_sel stays a STATIC numpy array so the entropy coder takes the
+    fused multi-table Pallas path (one kernel launch per table class).
+    stuff=False returns (words, total_bits, overflow) for the host-native
+    stuffer instead of stuffed bytes."""
     subsampling = cfg.subsampling
     basis_np = cfg.dct_basis()
     qtl_np = cfg.luma_quant.astype(np.float32)
@@ -135,10 +162,11 @@ def _encode_color_device(
         dc_diff = _per_component_dc_diff(zz[:, 0], comp_id)
         return entropy_device.encode_scan_device(
             zz,
-            table_sel=jnp.asarray(table_sel),
+            table_sel=table_sel,
             dc_diff=dc_diff,
             capacity_words=nslots * cap_words_per_block,
             pad_ones=cfg.pad_ones,
+            stuff=stuff,
         )
 
     return fn
@@ -186,17 +214,24 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
 
     if config.entropy == "device" and not config.restart_interval:
-        img_dev = jnp.asarray(image)
-        for cap in (
-            config.capacity_words_per_block,
-            entropy_device.MAX_WORDS_PER_BLOCK,
-        ):
-            fn = _encode_color_device(ph, pw, config, cap)
-            buf, nbytes, overflowed = fn(img_dev)
-            if not bool(overflowed):
-                from .pipeline import fetch_prefix
+        from . import pipeline
 
-                seg = fetch_prefix(buf, nbytes).tobytes()
+        img_dev = jnp.asarray(image)
+        host_stuff = config.stuff == "host" and pipeline._native_available()
+        for cap in pipeline.capacity_ladder(config):
+            fn = _encode_color_device(ph, pw, config, cap, stuff=not host_stuff)
+            out, count, overflowed = fn(img_dev)
+            if host_stuff:
+                from . import native
+
+                words, total_bits = pipeline.fetch_stream_words(
+                    out, count, overflowed, spec_key=(ph, pw, config)
+                )
+                if words is not None:
+                    seg = native.words_to_stuffed(words, total_bits)
+                    return jfif.assemble(w, h, config, [seg])
+            elif not bool(overflowed):
+                seg = pipeline.fetch_prefix(out, count).tobytes()
                 return jfif.assemble(w, h, config, [seg])
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
@@ -247,7 +282,9 @@ def encode_color_sharded(
     if (ph, pw) != (h, w):
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
 
-    for cap in (config.capacity_words_per_block, entropy_device.MAX_WORDS_PER_BLOCK):
+    from . import pipeline as _pipeline
+
+    for cap in _pipeline.capacity_ladder(config):
         fn = _sharded_color_fn(mesh, ph, pw, config, cap)
         bufs, nbytes, overflow = _jax.device_get(fn(jnp.asarray(image)))
         if not overflow.any():
@@ -289,7 +326,7 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
         dc_diff = _per_component_dc_diff(zz[:, 0], comp_id)
         buf, nbytes, overflow = entropy_device.encode_scan_device(
             zz,
-            table_sel=jnp.asarray(table_sel),
+            table_sel=table_sel,  # static numpy -> fused multi-table path
             dc_diff=dc_diff,
             capacity_words=cap,
             pad_ones=cfg.pad_ones,

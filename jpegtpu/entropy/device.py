@@ -45,8 +45,13 @@ _ZRL = 0xF0
 _EOB = 0x00
 
 # Worst-case entropy bits for one 8x8 block (SURVEY.md §7.4 capacity note):
-# DC <= 9-bit code + 11 amplitude bits; 63 AC lanes <= 16 + 10 each;
-# <= 3 ZRLs of 11 bits; EOB 4. Rounded up to a word multiple.
+# DC <= 11-bit code (chroma table) + 11 amplitude bits = 22; budgeted here
+# as 20 with the slack argument below. 63 AC lanes <= 16 + 10 each; <= 3
+# ZRLs of 11 bits; EOB 4. The summed terms cannot co-occur (63 maximal ACs
+# leave no zero runs for any ZRL, and a block ending in a nonzero AC emits
+# no EOB), so the true worst case is ~1660 bits — the 2-bit DC shortfall
+# vs the chroma table sits well inside that ~35-bit slack. Overflow is
+# detected (AssertionError), never silent corruption.
 MAX_BITS_PER_BLOCK = 20 + 63 * 26 + 3 * 11 + 4  # = 1695
 MAX_WORDS_PER_BLOCK = (MAX_BITS_PER_BLOCK + 31) // 32  # = 53
 
@@ -337,6 +342,118 @@ def stuff_bytes_device(words: jnp.ndarray, total_bits: jnp.ndarray):
     return out, nbytes + jnp.sum(is_ff)
 
 
+def _fused_grouped_pack(zz, table_sel_np, dc_diff, cap_per_block: int,
+                        interpret: bool):
+    """Multi-table fused symbolize+pack: one Pallas launch per Huffman
+    table class over the (static) slot group using it, then a static
+    gather merges the per-block word frames back to scan order.
+
+    The reference serves interleaved color scans with one serial entropy
+    tail switching tables per component (dsp huffman.c:190-260); here the
+    table choice is static per scan slot, so grouping by table keeps each
+    kernel's select cascades single-table (half the in-kernel op count of
+    a per-lane table select) at the cost of one extra [cap, nslots] static
+    gather — free under XLA.
+
+    zz: [nslots, 64] scan-order levels; table_sel_np: STATIC numpy [nslots]
+    of 0/1; dc_diff: [nslots] precomputed per-component DC differences.
+    Returns (words_t [cap, nslots], bits [nslots], overflow).
+    """
+    from . import pallas_pack
+
+    nslots = zz.shape[0]
+    perms = [np.nonzero(table_sel_np == t)[0] for t in (0, 1)]
+    inv = np.empty(nslots, np.int64)
+    inv[perms[0]] = np.arange(len(perms[0]))
+    inv[perms[1]] = len(perms[0]) + np.arange(len(perms[1]))
+    words_parts, bits_parts = [], []
+    overflow = jnp.zeros((), bool)
+    for t, idx in enumerate(perms):
+        if len(idx) == 0:
+            continue
+        w, b, ov = pallas_pack.encode_blocks_pallas(
+            zz[idx], dc_diff[idx], cap=cap_per_block, table=t,
+            interpret=interpret,
+        )
+        words_parts.append(w)
+        bits_parts.append(b)
+        overflow = overflow | ov
+    w_all = jnp.concatenate(words_parts, axis=1)[:, inv]
+    b_all = jnp.concatenate(bits_parts)[inv]
+    return w_all, b_all, overflow
+
+
+def _per_block_words(zz, table_sel, dc_diff, cap_per_block: int,
+                     fused: bool = True):
+    """Per-block packed streams: [nslots, 64] levels (+ per-block DC
+    diffs) -> (words_t [cap, nslots], bits [nslots], overflow). Chooses
+    the fused Pallas kernel (single- or multi-table) when eligible, else
+    the staged XLA symbolize + block reduction."""
+    from . import treepack
+
+    zz = zz.astype(jnp.int32)
+    interp = jax.default_backend() == "cpu"
+    if fused and cap_per_block <= 16:
+        if isinstance(table_sel, np.ndarray):
+            return _fused_grouped_pack(zz, table_sel, dc_diff,
+                                       cap_per_block, interp)
+        from . import pallas_pack
+
+        return pallas_pack.encode_blocks_pallas(
+            zz, dc_diff, cap=cap_per_block, table=table_sel,
+            interpret=interp,
+        )
+    values, lengths = symbolize_elements64(zz, table_sel, dc_diff)
+    words_t, bits_t = treepack._fuse_subslots(values, lengths, 3)
+    return treepack._block_reduce(
+        words_t, bits_t, 64, 3, cap_per_block, zz.shape[0]
+    )
+
+
+def encode_segments_device(
+    zz: jnp.ndarray,
+    seg_slots: int,
+    n_valid: int,
+    table_sel: np.ndarray | int,
+    dc_diff: jnp.ndarray,
+    cap_per_block: int,
+    pad_ones: bool = True,
+    deposit_threshold: int = 256,
+    fused: bool = True,
+):
+    """Segment-parallel entropy encode: S independent byte-aligned streams
+    in ONE program — the mechanism behind single-chip restart-interval
+    encodes (T.81 DRI semantics, each segment resetting the DC predictor)
+    and the batched image encode (each image = one 'segment').
+
+    zz: [S*seg_slots, 64] scan-order levels, zero-padded past n_valid
+    (padded blocks contribute ZERO bits — masked after the block pack).
+    dc_diff must already encode the per-segment / per-component predictor
+    resets. Returns (streams [S, seg_slots*cap_per_block] u32,
+    total_bits [S] i32 incl. tail padding, overflow).
+    """
+    from . import treepack
+
+    n_total = zz.shape[0]
+    assert n_total % seg_slots == 0
+    s = n_total // seg_slots
+    w_t, bits, overflow = _per_block_words(
+        zz, table_sel, dc_diff, cap_per_block, fused
+    )
+    if n_valid < n_total:
+        mask = jnp.arange(n_total) < n_valid
+        bits = jnp.where(mask, bits, 0)
+        w_t = jnp.where(mask[None, :], w_t, 0)
+    streams, totals = treepack.concat_segments_tree(
+        w_t.reshape(cap_per_block, s, seg_slots),
+        bits.reshape(s, seg_slots),
+        out_words_per_seg=seg_slots * cap_per_block,
+        deposit_threshold=deposit_threshold,
+    )
+    return (*treepack.apply_tail_padding_segments(streams, totals, pad_ones),
+            overflow)
+
+
 def encode_scan_device(
     zz: jnp.ndarray,
     table_sel: jnp.ndarray | int = 0,
@@ -369,17 +486,32 @@ def encode_scan_device(
         from . import treepack
 
         cap_per_block = max(1, capacity_words // nb)
-        if fused and isinstance(table_sel, int) and cap_per_block <= 16:
+        multi_table = isinstance(table_sel, np.ndarray)
+        if fused and cap_per_block <= 16 and (
+            isinstance(table_sel, int)
+            or (multi_table and dc_diff is not None)
+        ):
             # Fully fused Pallas path: zigzag levels -> packed per-block
             # streams in one kernel (no slot tensors materialized).
-            from . import pallas_pack
+            # Multi-table (interleaved color) scans run one launch per
+            # table class with a static-gather merge (_fused_grouped_pack).
+            interp = jax.default_backend() == "cpu"
+            if multi_table:
+                bw_t, bb, overflow = _fused_grouped_pack(
+                    zz.astype(jnp.int32), table_sel, dc_diff,
+                    cap_per_block, interp,
+                )
+            else:
+                from . import pallas_pack
 
-            if dc_diff is None:
-                dc_diff = dc_differences(zz.astype(jnp.int32)[:, 0], seg_len)
-            bw_t, bb, overflow = pallas_pack.encode_blocks_pallas(
-                zz, dc_diff, cap=cap_per_block, table=table_sel,
-                interpret=jax.default_backend() == "cpu",
-            )
+                if dc_diff is None:
+                    dc_diff = dc_differences(
+                        zz.astype(jnp.int32)[:, 0], seg_len
+                    )
+                bw_t, bb, overflow = pallas_pack.encode_blocks_pallas(
+                    zz, dc_diff, cap=cap_per_block, table=table_sel,
+                    interpret=interp,
+                )
             words, total_bits = treepack.concat_blocks_tree(
                 bw_t, bb, deposit_threshold=deposit_threshold
             )

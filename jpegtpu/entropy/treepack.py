@@ -293,6 +293,131 @@ def concat_blocks_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
     return _deposit_concat(rows, bits, nb * cb)
 
 
+def concat_segments_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
+                         out_words_per_seg: int, radix: int = 4,
+                         deposit_threshold: int = 256):
+    """Concatenate per-block streams into ONE stream PER SEGMENT, batched.
+
+    words_t: [CB, S, N] per-block packed words (transposed), bits: [S, N].
+    Every segment is an independent bitstream (restart segment, or one
+    image of a batch); all S of them reduce together in the same dense
+    tree — the batch axis rides along every level for free, which is how
+    this stays vmap-free (a vmapped concat_blocks_tree would lower its
+    deposit phase to scatters; see batch.py history).
+
+    Returns (streams [S, out_words_per_seg] u32, total_bits [S] i32 — tail
+    padding NOT applied; see apply_tail_padding_segments).
+    """
+    cb, s, nb = words_t.shape
+    bits = bits.astype(jnp.int32)
+    words, n, c = words_t, nb, cb
+
+    # Phase A: transposed layout [C, S, N] — identical math to the
+    # unbatched tree with the batch axis folded into the column axis.
+    while n > deposit_threshold and n > 1 and radix * c < _FLIP_C:
+        r = radix if n > 2 else 2
+        c_next = r * c
+        n_pad = -(-n // r) * r
+        if n_pad != n:
+            words = jnp.pad(words, ((0, 0), (0, 0), (0, n_pad - n)))
+            bits = jnp.pad(bits, ((0, 0), (0, n_pad - n)))
+        parts_w = [words[:, :, i::r] for i in range(r)]
+        parts_l = [bits[:, i::r] for i in range(r)]
+        m = n_pad // r
+        merged = jnp.pad(parts_w[0], ((0, c_next - c), (0, 0), (0, 0)))
+        off = parts_l[0]
+        for i in range(1, r):
+            shifted = _shift_right_bits_t(
+                jnp.pad(parts_w[i], ((0, c_next - c), (0, 0), (0, 0)))
+                .reshape(c_next, s * m),
+                off.reshape(s * m),
+            ).reshape(c_next, s, m)
+            merged = merged | shifted
+            off = off + parts_l[i]
+        words, bits, n, c = merged, off, m, c_next
+
+    rows = words.transpose(1, 2, 0)  # [S, n, c]
+
+    # Phase B: row-major top levels, batch axis folded into the row axis.
+    while n > deposit_threshold and n > 1:
+        r = radix if n > 2 else 2
+        c_next = r * c
+        n_pad = -(-n // r) * r
+        if n_pad != n:
+            rows = jnp.pad(rows, ((0, 0), (0, n_pad - n), (0, 0)))
+            bits = jnp.pad(bits, ((0, 0), (0, n_pad - n)))
+        parts_w = [rows[:, i::r] for i in range(r)]
+        parts_l = [bits[:, i::r] for i in range(r)]
+        m = n_pad // r
+        merged = jnp.pad(parts_w[0], ((0, 0), (0, 0), (0, c_next - c)))
+        off = parts_l[0]
+        for i in range(1, r):
+            shifted = _shift_right_bits_r(
+                jnp.pad(parts_w[i], ((0, 0), (0, 0), (0, c_next - c)))
+                .reshape(s * m, c_next),
+                off.reshape(s * m),
+            ).reshape(s, m, c_next)
+            merged = merged | shifted
+            off = off + parts_l[i]
+        rows, bits, n, c = merged, off, m, c_next
+
+    if n == 1:
+        streams = rows[:, 0]  # [S, c]
+        if c < out_words_per_seg:
+            streams = jnp.pad(streams, ((0, 0), (0, out_words_per_seg - c)))
+        return streams[:, :out_words_per_seg], bits[:, 0]
+
+    # Deposit top: one fori_loop over all S*n remaining elements; element
+    # (seg, i) lands at absolute bit offset seg*W*32 + prefix(seg, i) —
+    # per-segment regions are strided, so one flat output buffer serves
+    # every segment and XLA keeps it in-place across iterations.
+    ends = jnp.cumsum(bits, axis=1)  # [S, n]
+    offs = ends - bits
+    base = (jnp.arange(s, dtype=jnp.int32) * (out_words_per_seg * 32))[:, None]
+    abs_offs = (offs + base).reshape(-1)
+    flat_rows = rows.reshape(s * n, c)
+    out0 = jnp.zeros(s * out_words_per_seg + c + 1, jnp.uint32)
+
+    def body(i, out):
+        row = jax.lax.dynamic_slice(flat_rows, (i, 0), (1, c))[0]
+        off = abs_offs[i]
+        wo = off >> 5
+        ra = (off & 31).astype(jnp.uint32)
+        t = jnp.clip(32 - ra, 0, 31)
+        hi = row >> ra
+        prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), row[:-1]])
+        body_w = hi | jnp.where(ra == 0, 0, prev << t)
+        tail_w = jnp.where(ra == 0, 0, row[-1:] << t)
+        seg = jnp.concatenate([body_w, tail_w])
+        cur = jax.lax.dynamic_slice(out, (wo,), (c + 1,))
+        return jax.lax.dynamic_update_slice(out, cur | seg, (wo,))
+
+    out = jax.lax.fori_loop(0, s * n, body, out0)
+    streams = out[: s * out_words_per_seg].reshape(s, out_words_per_seg)
+    return streams, ends[:, -1]
+
+
+def apply_tail_padding_segments(streams: jnp.ndarray, totals: jnp.ndarray,
+                                pad_ones: bool):
+    """Per-segment final-byte padding, dense over the batch: the pad mask
+    is OR'd into each segment's word at index total>>5 via an arange
+    compare (one pass over the output, no scatters)."""
+    padlen = (-totals) % 8
+    if pad_ones:
+        s, w = streams.shape
+        widx = totals >> 5
+        off = (totals & 31).astype(jnp.uint32)
+        mask = jnp.where(
+            padlen > 0,
+            ((jnp.uint32(1) << padlen.astype(jnp.uint32)) - 1)
+            << jnp.clip(32 - off - padlen.astype(jnp.uint32), 0, 31),
+            jnp.uint32(0),
+        )
+        hit = jnp.arange(w, dtype=jnp.int32)[None, :] == widx[:, None]
+        streams = streams | jnp.where(hit, mask[:, None], 0)
+    return streams, totals + padlen
+
+
 def pack_bits_tree(values: jnp.ndarray, lengths: jnp.ndarray,
                    cap_words_per_block: int, pad_ones: bool = True):
     """Full tree packer: per-slot codes -> one packed word stream.

@@ -127,7 +127,7 @@ def encode_grayscale_sharded(
         image = np.pad(image, pad, mode="edge")
     is_rgb = image.ndim == 3
 
-    for cap in (config.capacity_words_per_block, entropy_device.MAX_WORDS_PER_BLOCK):
+    for cap in pipeline.capacity_ladder(config):
         fn = _sharded_encode_fn(mesh, ph, pw, config, is_rgb, cap)
         bufs, nbytes, overflow, _ = jax.device_get(fn(jnp.asarray(image)))
         if not overflow.any():

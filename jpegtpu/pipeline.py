@@ -138,9 +138,12 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     (the multi-segment device path lives in jpegtpu.parallel)."""
     config = config or EncodeConfig()
     h, w = image.shape[:2]
-    if config.entropy == "device" and not config.restart_interval:
-        seg = _encode_segment_device(image, config)
-        return jfif.assemble(w, h, config, [seg])
+    if config.entropy == "device":
+        if not config.restart_interval:
+            seg = _encode_segment_device(image, config)
+            return jfif.assemble(w, h, config, [seg])
+        segments = _encode_restart_segments_device(image, config)
+        return jfif.assemble(w, h, config, segments)
     zz = grayscale_coefficients(image, config)
     if config.restart_interval:
         seg_ids = np.arange(zz.shape[0]) // config.restart_interval
@@ -152,7 +155,96 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     return jfif.assemble(w, h, config, segments)
 
 
+@functools.lru_cache(maxsize=64)
+def _encode_gray_restart_device(
+    ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool,
+    cap_words_per_block: int,
+):
+    """Jitted restart-interval grayscale encode: N restart segments packed
+    as N independent byte-aligned streams in ONE program (T.81 DRI; the
+    same per-segment mechanics each mesh shard runs in parallel.sharding,
+    here on the segment axis of a single chip)."""
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
+    nb = (ph // 8) * (pw // 8)
+    seg_blocks = cfg.restart_interval  # grayscale: 1 MCU == 1 block
+    n_seg = -(-nb // seg_blocks)
+    n_total = n_seg * seg_blocks
+
+    @jax.jit
+    def fn(img):
+        zz = _gray_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
+        ).astype(jnp.int32)
+        if n_total != nb:
+            zz = jnp.pad(zz, ((0, n_total - nb), (0, 0)))
+        dcd = entropy_device.dc_differences(zz[:, 0], seg_blocks)
+        return entropy_device.encode_segments_device(
+            zz, seg_blocks, nb, 0, dcd, cap_words_per_block,
+            pad_ones=cfg.pad_ones,
+        )
+
+    return fn
+
+
+def segments_from_streams(streams: np.ndarray, totals: np.ndarray) -> list[bytes]:
+    """Host finish for segment-parallel device output: slice each
+    segment's valid words and byte-stuff (native when available)."""
+    out = []
+    stuffer = None
+    from . import native
+
+    if native.available():
+        stuffer = native.words_to_stuffed
+    for i in range(streams.shape[0]):
+        total_bits = int(totals[i])
+        words = streams[i, : (total_bits + 31) // 32]
+        if stuffer is not None:
+            out.append(stuffer(words, total_bits))
+        else:
+            raw = np.frombuffer(
+                words.astype(">u4").tobytes(), np.uint8
+            )[: (total_bits + 7) // 8]
+            out.append(entropy_host.stuff_bytes(np.asarray(raw)))
+    return out
+
+
+def _encode_restart_segments_device(
+    image: np.ndarray, config: EncodeConfig
+) -> list[bytes]:
+    """Device encode honoring restart_interval on one chip: returns the
+    per-segment entropy byte strings for jfif.assemble."""
+    is_rgb = image.ndim == 3
+    h, w = image.shape[:2]
+    ph, pw = blocks.padded_dims(h, w)
+    if (ph, pw) != (h, w):
+        pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
+        image = np.pad(image, pad, mode="edge")
+    img_dev = jnp.asarray(image)
+    for cap in capacity_ladder(config):
+        fn = _encode_gray_restart_device(ph, pw, config, is_rgb, cap)
+        streams, totals, overflow = fn(img_dev)
+        if not bool(overflow):
+            streams, totals = jax.device_get((streams, totals))
+            return segments_from_streams(streams, totals)
+    raise AssertionError("worst-case entropy capacity overflowed (bug)")
+
+
+def capacity_ladder(config: EncodeConfig) -> tuple[int, ...]:
+    """Overflow-retry capacity schedule (words per block): the configured
+    heuristic, then a middle bucket, then the absolute worst case. The
+    middle bucket (16 words = 8 bpp, still fused-kernel eligible) caps the
+    worst-case capacity jump for pathological content at ~2x instead of
+    the 6.6x straight to MAX_WORDS_PER_BLOCK."""
+    ladder = [config.capacity_words_per_block]
+    if ladder[-1] < 16:
+        ladder.append(16)
+    ladder.append(entropy_device.MAX_WORDS_PER_BLOCK)
+    return tuple(ladder)
+
+
 _SPEC_BYTES = 1 << 21  # default speculation when no history exists
+_SPEC_HISTORY_MAX = 4096  # LRU bound: a serving process must not leak
 _spec_history: dict = {}  # fetch-site key -> last stream words (adaptive)
 
 
@@ -191,7 +283,10 @@ def fetch_stream_words(buf, total_bits_dev, overflow_dev, spec_key=None):
     total_bits = int(total_bits)
     nwords = (total_bits + 31) // 32
     if spec_key is not None:
+        _spec_history.pop(spec_key, None)  # re-insert = move to MRU end
         _spec_history[spec_key] = nwords
+        while len(_spec_history) > _SPEC_HISTORY_MAX:
+            _spec_history.pop(next(iter(_spec_history)))
     if nwords <= spec_words:
         return head[:nwords], total_bits
     rest = fetch_prefix_words(buf[spec_words:], nwords - spec_words)
@@ -224,7 +319,7 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
         image = np.pad(image, pad, mode="edge")
     img_dev = jnp.asarray(image)
     host_stuff = config.stuff == "host" and _native_available()
-    for cap in (config.capacity_words_per_block, entropy_device.MAX_WORDS_PER_BLOCK):
+    for cap in capacity_ladder(config):
         fn = _encode_gray_device(
             ph, pw, config, is_rgb, cap, stuff=not host_stuff,
         )
