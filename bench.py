@@ -183,6 +183,33 @@ def main():
     t_cdev, _ = _timeit(color_device_only, reps)
     results["color_device_mpix_s"] = round(mpix / t_cdev, 2)
 
+    # ---------- batched encode (BASELINE config 4: many images / chip) ----
+    # Device-compute throughput per dispatch; the image axis folds into
+    # the Pallas block grid (batch._batch_encode_fn), so per-image device
+    # throughput should match the single-image fused path.
+    nb_img = int(os.environ.get("BENCH_BATCH", "256"))
+    bh = bw = 512
+    rngs = np.random.default_rng(7)
+    batch_np = np.stack(
+        [make_image(bh, bw) + rngs.integers(0, 8) for _ in range(nb_img)]
+    ).astype(np.uint8)
+    from jpegtpu import batch as batch_mod
+
+    bfn = batch_mod._batch_encode_fn(
+        nb_img, bh, bw, cfg, False, cfg.capacity_words_per_block, None
+    )
+    barr = jnp.asarray(batch_np)
+    streams, totals, overflow = bfn(barr)  # warmup
+    assert not bool(overflow)
+
+    def batch_device_only():
+        _, totals, _ = bfn(barr)
+        jax.device_get(totals)
+
+    t_b, _ = _timeit(batch_device_only, max(3, reps // 2))
+    results["batch_images"] = nb_img
+    results["batch_device_mpix_s"] = round(nb_img * bh * bw / t_b / 1e6, 2)
+
     results["parity"] = bool(results["parity_gray"] and results["parity_color"])
     print(
         json.dumps(

@@ -172,6 +172,43 @@ def _encode_color_device(
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _encode_color_restart_device(
+    ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
+):
+    """Jitted restart-interval color encode: the scan's MCUs split into
+    segments of restart_interval MCUs (T.81 DRI), each packed as an
+    independent byte-aligned stream — all in one program via
+    entropy.encode_segments_device."""
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    gather_idx, table_sel, comp_id = _scan_layout(ph, pw, cfg.subsampling)
+    nslots = gather_idx.shape[0]
+    slots_per_mcu = 6 if cfg.subsampling == "420" else 3
+    seg_slots = cfg.restart_interval * slots_per_mcu
+    n_seg = -(-nslots // seg_slots)
+    n_total = n_seg * seg_slots
+    table_pad = np.pad(table_sel, (0, n_total - nslots))
+    comp_pad = np.pad(comp_id, (0, n_total - nslots))
+
+    @jax.jit
+    def fn(img):
+        zz = _color_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        ).astype(jnp.int32)
+        if n_total != nslots:
+            zz = jnp.pad(zz, ((0, n_total - nslots), (0, 0)))
+        dcd = _per_component_dc_diff(zz[:, 0], comp_pad, seg_slots)
+        return entropy_device.encode_segments_device(
+            zz, seg_slots, nslots, table_pad, dcd, cap_words_per_block,
+            pad_ones=cfg.pad_ones,
+        )
+
+    return fn
+
+
 @functools.lru_cache(maxsize=64)
 def _levels_fn(ph: int, pw: int, cfg: EncodeConfig):
     basis_np = cfg.dct_basis()
@@ -235,6 +272,21 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
                 return jfif.assemble(w, h, config, [seg])
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
+    if config.entropy == "device":
+        # restart_interval on one chip: N byte-aligned segments in one
+        # program (same segment machinery the mesh shards use).
+        from . import pipeline
+
+        img_dev = jnp.asarray(image)
+        for cap in pipeline.capacity_ladder(config):
+            fn = _encode_color_restart_device(ph, pw, config, cap)
+            streams, totals, overflow = fn(img_dev)
+            if not bool(overflow):
+                streams, totals = jax.device_get((streams, totals))
+                segments = pipeline.segments_from_streams(streams, totals)
+                return jfif.assemble(w, h, config, segments)
+        raise AssertionError("worst-case entropy capacity overflowed (bug)")
+
     zz, table_sel, comp_id = color_coefficients(image, config)
     segment_ids = None
     if config.restart_interval:
@@ -283,31 +335,45 @@ def encode_color_sharded(
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
 
     from . import pipeline as _pipeline
+    from .parallel.sharding import (
+        gather_segments_multihost,
+        global_input,
+        restart_subsegments,
+    )
+    from jax.sharding import PartitionSpec as P
 
+    img_global = global_input(image, mesh, P("shard", None, None))
     for cap in _pipeline.capacity_ladder(config):
         fn = _sharded_color_fn(mesh, ph, pw, config, cap)
-        bufs, nbytes, overflow = _jax.device_get(fn(jnp.asarray(image)))
-        if not overflow.any():
+        streams, totals, overflow = fn(img_global)
+        if not bool(overflow):
             break
     else:
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
+    totals_np = _jax.device_get(totals)
+    segments = gather_segments_multihost(streams, totals_np)
     mcu_per_shard = (ph // n // mcu_rows) * (pw // mcu_rows)
     restart_cfg = EncodeConfig(
         quality=config.quality,
         subsampling=config.subsampling,
-        restart_interval=mcu_per_shard,
+        restart_interval=restart_subsegments(mcu_per_shard),
         pad_ones=config.pad_ones,
         bitexact=config.bitexact,
     )
-    segments = [bufs[i, : int(nbytes[i])].tobytes() for i in range(n)]
     return jfif.assemble(w, h, restart_cfg, segments)
 
 
 @functools.lru_cache(maxsize=32)
 def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
                       cap_words_per_block: int):
+    """Sharded color encode step: each shard packs k byte-aligned restart
+    sub-segments (k > 1 only past DRI's 16-bit MCU limit); segment
+    lengths are all_gathered so every host can assemble. Mirrors
+    parallel.sharding._sharded_encode_fn for the interleaved scan."""
     from jax.sharding import PartitionSpec as P
+
+    from .parallel.sharding import restart_subsegments
 
     n = mesh.devices.size
     basis_np = cfg.dct_basis()
@@ -316,28 +382,33 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
     ph_local = ph // n
     gather_idx, table_sel, comp_id = _scan_layout(ph_local, pw, cfg.subsampling)
     nslots = gather_idx.shape[0]
-    cap = nslots * cap_words_per_block
+    slots_per_mcu = 6 if cfg.subsampling == "420" else 3
+    mcu_per_shard = nslots // slots_per_mcu
+    seg_slots = restart_subsegments(mcu_per_shard) * slots_per_mcu
 
     def local_encode(img_local):
         zz = _color_levels(
             img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
             jnp.asarray(qtc_np),
+        ).astype(jnp.int32)
+        dc_diff = _per_component_dc_diff(zz[:, 0], comp_id, seg_slots)
+        streams, totals, overflow = entropy_device.encode_segments_device(
+            zz, seg_slots, nslots, table_sel, dc_diff,
+            cap_words_per_block, pad_ones=cfg.pad_ones,
         )
-        dc_diff = _per_component_dc_diff(zz[:, 0], comp_id)
-        buf, nbytes, overflow = entropy_device.encode_scan_device(
-            zz,
-            table_sel=table_sel,  # static numpy -> fused multi-table path
-            dc_diff=dc_diff,
-            capacity_words=cap,
-            pad_ones=cfg.pad_ones,
-        )
-        return buf[None, :], nbytes[None], overflow[None]
+        all_totals = jax.lax.all_gather(totals, "shard")  # [n, k]
+        return streams[None], all_totals, overflow[None]
 
     sharded = jax.shard_map(
         local_encode,
         mesh=mesh,
         in_specs=P("shard", None, None),
-        out_specs=(P("shard", None), P("shard"), P("shard")),
+        out_specs=(P("shard", None, None), P(None, None), P("shard")),
         check_vma=False,
     )
-    return jax.jit(sharded)
+
+    def fn(img):
+        streams, all_totals, overflow = sharded(img)
+        return streams, all_totals, jnp.any(overflow)
+
+    return jax.jit(fn)

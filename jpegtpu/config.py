@@ -53,6 +53,11 @@ class EncodeConfig:
     def __post_init__(self):
         if not 1 <= self.quality <= 100:
             raise ValueError(f"quality must be in [1, 100], got {self.quality}")
+        if not 0 <= self.restart_interval <= 0xFFFF:
+            # DRI's interval payload is a 16-bit field (T.81 B.2.4.4).
+            raise ValueError(
+                f"restart_interval must be in [0, 65535], got {self.restart_interval}"
+            )
         if self.subsampling not in ("gray", "420", "444"):
             raise ValueError(f"unknown subsampling {self.subsampling!r}")
         if self.entropy not in ("device", "host"):

@@ -23,24 +23,36 @@ from __future__ import annotations
 
 import jax
 
-from .sharding import make_mesh
-
 
 def initialize(**kwargs) -> None:
-    """jax.distributed.initialize with env-driven defaults. Safe to call
-    once per process before any jax computation; no-op on a single host
-    with no coordinator configured."""
+    """jax.distributed.initialize with env-driven defaults. Must run
+    before any JAX backend initializes (calling jax.process_count() here
+    would itself initialize the local backend and defeat the handshake),
+    so idempotence is gated on the distributed client state, not on
+    process_count. No-op on a single host with no coordinator configured.
+    """
     import os
 
-    if jax.process_count() > 1:
+    try:  # the state object moved between jax versions
+        from jax._src.distributed import global_state as _gs
+    except ImportError:  # pragma: no cover
+        _gs = getattr(jax.distributed, "global_state", None)
+    if _gs is not None and _gs.client is not None:
         return  # already initialized
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or kwargs:
+    if (
+        kwargs
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+        or os.environ.get("COORDINATOR_ADDRESS")
+    ):
         jax.distributed.initialize(**kwargs)
 
 
 def global_mesh(axis: str = "shard"):
     """1-D mesh over every device in the job (all hosts)."""
-    return make_mesh(devices=jax.devices())
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), (axis,))
 
 
 def is_coordinator() -> bool:

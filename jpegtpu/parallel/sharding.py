@@ -53,6 +53,18 @@ def shard_padded_dims(h: int, w: int, n_shards: int) -> tuple[int, int]:
     return ph, pw
 
 
+def restart_subsegments(mcu_per_shard: int) -> int:
+    """Largest interval R <= 65535 with R | mcu_per_shard: DRI's payload
+    is a 16-bit field (T.81 B.2.4.4), so a shard whose MCU count exceeds
+    it must emit several restart segments; R must divide the shard size
+    so segment boundaries stay globally periodic (only the scan's LAST
+    segment may be short)."""
+    k = -(-mcu_per_shard // 0xFFFF)
+    while mcu_per_shard % k:
+        k += 1
+    return mcu_per_shard // k
+
+
 @functools.lru_cache(maxsize=32)
 def _sharded_encode_fn(
     mesh: Mesh,
@@ -64,48 +76,122 @@ def _sharded_encode_fn(
 ):
     """Build the jitted sharded encode step for a padded shape.
 
-    Returns fn(img) -> (bufs [n, cap], nbytes [n], overflow [n], offsets [n])
-    where offsets[i] is segment i's byte offset within the concatenated scan
-    (restart markers included) — computed on-device from the all_gather.
+    Returns fn(img) -> (streams [n, k, W] u32, total_bits [n, k] i32,
+    overflow [n]): each shard packs k byte-aligned restart segments
+    (k > 1 only when the shard's MCU count exceeds DRI's 16-bit limit).
+    total_bits is REPLICATED across the mesh via all_gather so every host
+    of a multi-host mesh can read all lengths without touching
+    non-addressable shards.
     """
     n = mesh.devices.size
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb_local = (ph // n // 8) * (pw // 8)
-    cap = nb_local * cap_words_per_block
+    seg_blocks = restart_subsegments(nb_local)
 
     def local_encode(img_local):
         basis = jnp.asarray(basis_np)
         qtable = jnp.asarray(qtable_np)
-        zz = pipeline._gray_levels(img_local, cfg, basis, qtable, is_rgb)
-        buf, nbytes, overflow = entropy_device.encode_scan_device(
-            zz, capacity_words=cap, pad_ones=cfg.pad_ones
+        zz = pipeline._gray_levels(
+            img_local, cfg, basis, qtable, is_rgb
+        ).astype(jnp.int32)
+        dcd = entropy_device.dc_differences(zz[:, 0], seg_blocks)
+        streams, totals, overflow = entropy_device.encode_segments_device(
+            zz, seg_blocks, nb_local, 0, dcd, cap_words_per_block,
+            pad_ones=cfg.pad_ones,
         )
-        # Cross-shard exchange: every chip learns all segment lengths, so
-        # each can compute its own output offset (segment bytes + 2-byte
-        # RSTn between segments). ~n*4 bytes over ICI.
-        all_len = jax.lax.all_gather(nbytes, "shard")  # [n]
-        my = jax.lax.axis_index("shard")
-        before = jnp.where(jnp.arange(n) < my, all_len, 0).sum()
-        offset = before + 2 * my  # RST markers between prior segments
-        return (
-            buf[None, :],
-            nbytes[None],
-            overflow[None],
-            offset[None],
-        )
+        # Cross-shard exchange: every chip (hence every host) learns all
+        # segment lengths — ~n*k*4 bytes over ICI/DCN, replacing the
+        # reference's shared-DDR DTO handoff (dsp main.c:471-490).
+        all_totals = jax.lax.all_gather(totals, "shard")  # [n, k]
+        return streams[None], all_totals, overflow[None]
 
     sharded = jax.shard_map(
         local_encode,
         mesh=mesh,
         in_specs=P("shard", None),
-        out_specs=(P("shard", None), P("shard"), P("shard"), P("shard")),
+        # all_totals is identical on every shard -> replicated out_spec.
+        out_specs=(P("shard", None, None), P(None, None), P("shard")),
         # pallas_call inside shard_map needs vma annotations on out_shape
         # unless varying-mesh-axis checking is off; everything here is
         # fully shard-local so the check adds nothing.
         check_vma=False,
     )
-    return jax.jit(sharded)
+
+    def fn(img):
+        streams, all_totals, overflow = sharded(img)
+        return streams, all_totals, jnp.any(overflow)
+
+    return jax.jit(fn)
+
+
+def global_input(image_np: np.ndarray, mesh: Mesh, spec: P):
+    """Device placement of a host image for a (possibly multi-host) mesh.
+
+    Single-process: plain device_put. Multi-host: every host holds the
+    full image (the reference's host also owns the whole input,
+    dsp main.c:398-450) and contributes only its ADDRESSABLE shards via
+    make_array_from_callback — no host ever touches remote device memory.
+    """
+    from jax.sharding import NamedSharding
+
+    sharding_ = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(image_np), sharding_)
+    return jax.make_array_from_callback(
+        image_np.shape, sharding_, lambda idx: image_np[idx]
+    )
+
+
+def gather_segments_multihost(streams, totals_np: np.ndarray) -> list[bytes]:
+    """Per-shard segment words -> ordered list of stuffed segment bytes.
+
+    This is the multi-host replacement for the reference's host-side
+    final assembly (dsp_port/jpeg_client/main.c:483-530: IPC return ->
+    saveJPEG). Single-process: one device_get. Multi-host: each host
+    fetches ONLY its addressable shards of the sharded `streams` array,
+    stuffs its segments, and the hosts exchange the (bucketed-padded)
+    segment bytes over DCN via process_allgather — every host ends up
+    with the full ordered segment list; the coordinator writes the file.
+    """
+    n, k, _w = streams.shape
+    if jax.process_count() == 1:
+        arr = jax.device_get(streams)
+        return pipeline.segments_from_streams(
+            arr.reshape(n * k, _w), totals_np.reshape(-1)
+        )
+
+    from jax.experimental import multihost_utils
+
+    seg_bytes: dict[int, bytes] = {}
+    for shard in streams.addressable_shards:
+        i = shard.index[0].start or 0
+        words = np.asarray(shard.data).reshape(k, _w)
+        segs = pipeline.segments_from_streams(words, totals_np[i])
+        for j, s in enumerate(segs):
+            seg_bytes[i * k + j] = s
+
+    my_ids = sorted(seg_bytes)
+    lens = np.asarray([len(seg_bytes[i]) for i in my_ids], np.int64)
+    # All hosts must agree on the exchange buffer width: gather the max
+    # stuffed length first (tiny), then the padded payload matrix.
+    width = int(
+        np.max(multihost_utils.process_allgather(np.asarray([lens.max()])))
+    )
+    payload = np.zeros((len(my_ids), width), np.uint8)
+    for r, i in enumerate(my_ids):
+        b = np.frombuffer(seg_bytes[i], np.uint8)
+        payload[r, : b.size] = b
+    ids_all = multihost_utils.process_allgather(np.asarray(my_ids, np.int64))
+    lens_all = multihost_utils.process_allgather(lens)
+    bufs_all = multihost_utils.process_allgather(payload)
+    segments: list[bytes | None] = [None] * (n * k)
+    for p in range(ids_all.shape[0]):
+        for r in range(ids_all.shape[1]):
+            gid = int(ids_all[p, r])
+            segments[gid] = bufs_all[p, r, : int(lens_all[p, r])].tobytes()
+    assert all(s is not None for s in segments), "missing shard segment"
+    return segments  # type: ignore[return-value]
 
 
 def encode_grayscale_sharded(
@@ -114,9 +200,12 @@ def encode_grayscale_sharded(
     mesh: Mesh | None = None,
 ) -> bytes:
     """Multi-chip grayscale encode: returns a standard JFIF stream whose
-    scan is n_shards restart segments. Decodes identically to a single-chip
-    encode of the same pixels at the same restart interval (verified by
-    tests/test_sharding.py)."""
+    scan is n_shards * k restart segments (k > 1 only when a shard holds
+    more MCUs than DRI's 16-bit interval can express). Decodes identically
+    to a single-chip encode of the same pixels at the same restart
+    interval (verified by tests/test_sharding.py). Works on multi-host
+    meshes: every host calls this with the full image; every host returns
+    the complete stream (coordinator writes the file)."""
     config = config or EncodeConfig()
     mesh = mesh or make_mesh()
     n = mesh.devices.size
@@ -126,22 +215,24 @@ def encode_grayscale_sharded(
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
         image = np.pad(image, pad, mode="edge")
     is_rgb = image.ndim == 3
+    spec = P("shard", None, None) if is_rgb else P("shard", None)
+    img_global = global_input(image, mesh, spec)
 
     for cap in pipeline.capacity_ladder(config):
         fn = _sharded_encode_fn(mesh, ph, pw, config, is_rgb, cap)
-        bufs, nbytes, overflow, _ = jax.device_get(fn(jnp.asarray(image)))
-        if not overflow.any():
+        streams, totals, overflow = fn(img_global)
+        if not bool(overflow):
             break
     else:
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
-    mcu_per_shard = (ph // n // 8) * (pw // 8)
+    totals_np = jax.device_get(totals)
+    segments = gather_segments_multihost(streams, totals_np)
     restart_cfg = EncodeConfig(
         quality=config.quality,
         subsampling=config.subsampling,
-        restart_interval=mcu_per_shard,
+        restart_interval=restart_subsegments((ph // n // 8) * (pw // 8)),
         pad_ones=config.pad_ones,
         bitexact=config.bitexact,
     )
-    segments = [bufs[i, : int(nbytes[i])].tobytes() for i in range(n)]
     return jfif.assemble(w, h, restart_cfg, segments)

@@ -22,7 +22,6 @@ import numpy as np
 
 from .config import EncodeConfig
 from .entropy import device as entropy_device
-from .entropy import treepack
 from .ops import blocks
 from . import pipeline
 
@@ -38,11 +37,14 @@ class StageTiming:
 def profile_encode(
     image: np.ndarray, config: EncodeConfig | None = None, reps: int = 5
 ) -> list[StageTiming]:
-    """Stage-attributed timings of the grayscale device encode.
+    """Stage-attributed timings of the PRODUCTION grayscale device encode
+    (the exact default path of pipeline.encode_grayscale: fused transform
+    -> fused Pallas symbolize+pack kernel -> across-block concat tree ->
+    host-native byte stuffing).
 
-    Stages mirror the reference's report rows: transform (Y/center/DCT/
-    quant/zigzag fused — the MXU part), symbolize (RLE+Huffman code
-    assignment), pack (bitstream reduction), stuff (byte stuffing).
+    Device rows are timed as jitted pipeline prefixes (deltas attribute
+    each stage); the final row times the HOST finish (prefix download +
+    native C++ stuffing), which runs off-device in production.
     """
     config = config or EncodeConfig()
     is_rgb = image.ndim == 3
@@ -51,7 +53,6 @@ def profile_encode(
     if (ph, pw) != (h, w):
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
         image = np.pad(image, pad, mode="edge")
-    nb = (ph // 8) * (pw // 8)
     cap = config.capacity_words_per_block
     basis_np = config.dct_basis()
     qt_np = config.luma_quant.astype(np.float32)
@@ -61,28 +62,26 @@ def profile_encode(
             img, config, jnp.asarray(basis_np), jnp.asarray(qt_np), is_rgb
         )
 
-    def sym(img):
-        return entropy_device.symbolize_slots(levels(img))
+    def block_pack(img):
+        zz = levels(img).astype(jnp.int32)
+        dcd = entropy_device.dc_differences(zz[:, 0], 0)
+        return entropy_device._per_block_words(zz, 0, dcd, cap)
 
-    def pack(img):
-        v, l = sym(img)
-        return treepack.pack_bits_tree(
-            v.reshape(nb, -1), l.reshape(nb, -1), cap, config.pad_ones
+    def concat(img):
+        zz = levels(img)
+        nb = zz.shape[0]
+        return entropy_device.encode_scan_device(
+            zz, capacity_words=nb * cap, pad_ones=config.pad_ones,
+            stuff=False,
         )
-
-    def full(img):
-        words, total_bits, ovf = pack(img)
-        out, nbytes = entropy_device.stuff_bytes_device(words, total_bits)
-        return out, nbytes, ovf
 
     img_dev = jnp.asarray(image)
     results = []
     prev = 0.0
     for name, fraw in (
         ("transform", levels),
-        ("symbolize", sym),
-        ("pack", pack),
-        ("stuff", full),
+        ("block_pack", block_pack),
+        ("concat", concat),
     ):
         f = jax.jit(fraw)
         jax.block_until_ready(jax.device_get(f(img_dev)))  # compile+warm
@@ -101,6 +100,32 @@ def profile_encode(
             )
         )
         prev = total
+
+    # Host finish: stream download + native stuffing (production tail).
+    f = jax.jit(concat)
+    out, count, ovf = f(img_dev)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        words, total_bits = pipeline.fetch_stream_words(
+            out, count, ovf, spec_key=(ph, pw, "profile")
+        )
+        if words is not None:
+            from . import native
+
+            if native.available():
+                native.words_to_stuffed(words, total_bits)
+        ts.append(time.perf_counter() - t0)
+    host_ms = min(ts) * 1000
+    total = prev + host_ms
+    results.append(
+        StageTiming(
+            name="fetch+stuff(host)",
+            total_ms=round(total, 2),
+            stage_ms=round(host_ms, 2),
+            mpix_per_s=round(h * w / (total / 1000) / 1e6, 1),
+        )
+    )
     return results
 
 

@@ -74,6 +74,46 @@ def test_restart_markers_equivalent(golden):
     assert np.array_equal(base, with_rst)
 
 
+def test_restart_device_bytes_equal_host_coder():
+    """restart_interval with entropy="device" runs the segment-parallel
+    device path (no host-coder fallback) and must emit the host coder's
+    exact bytes — ragged final segment included (VERDICT r1 #5)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (96, 72), dtype=np.uint8)  # 108 blocks
+    for interval in (7, 25, 108, 500):
+        dev = encode_grayscale(
+            img, EncodeConfig(restart_interval=interval, entropy="device")
+        )
+        host = encode_grayscale(
+            img, EncodeConfig(restart_interval=interval, entropy="host")
+        )
+        assert dev == host, interval
+
+
+def test_restart_device_color_bytes_equal_host_coder():
+    """Color device restart path: byte parity with the host coder across
+    subsampling modes and ragged segment tails."""
+    from jpegtpu import color_pipeline
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (72, 56, 3), dtype=np.uint8)
+    for ss in ("420", "444"):
+        for interval in (2, 5):
+            dev = color_pipeline.encode_color(
+                img,
+                EncodeConfig(
+                    subsampling=ss, restart_interval=interval, entropy="device"
+                ),
+            )
+            host = color_pipeline.encode_color(
+                img,
+                EncodeConfig(
+                    subsampling=ss, restart_interval=interval, entropy="host"
+                ),
+            )
+            assert dev == host, (ss, interval)
+
+
 def test_pad_ones_still_decodes():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (40, 40), dtype=np.uint8)

@@ -62,9 +62,10 @@ def test_sharded_decodes_like_single_chip():
     np.testing.assert_array_equal(a, b)
 
 
-def test_sharded_offsets_match_layout():
-    """The on-device all_gather offsets must equal each segment's byte
-    offset in the assembled scan (segments + 2-byte RSTn separators)."""
+def test_sharded_lengths_replicated_and_consistent():
+    """The all_gathered per-segment bit lengths must be REPLICATED across
+    the mesh (every host can compute every offset without touching remote
+    shards) and must match the actual packed segment sizes."""
     n = 4
     h, w = 8 * n, 32
     img = _image(h, w, seed=7)
@@ -76,9 +77,28 @@ def test_sharded_offsets_match_layout():
     )
     import jax.numpy as jnp
 
-    bufs, nbytes, overflow, offsets = jax.device_get(fn(jnp.asarray(img)))
-    assert not overflow.any()
-    expect = 0
-    for i in range(n):
-        assert offsets[i] == expect
-        expect += int(nbytes[i]) + 2  # segment + RSTn
+    streams, totals, overflow = fn(jnp.asarray(img))
+    assert not bool(overflow)
+    # totals is fully replicated: every device holds the whole [n, k]
+    assert totals.sharding.is_fully_replicated
+    streams_np, totals_np = jax.device_get((streams, totals))
+    nshards, k, _w = streams_np.shape
+    assert (nshards, k) == (n, 1)
+    # each segment's bit count is byte-aligned and fits its valid words
+    segs = sharding.gather_segments_multihost(streams, totals_np)
+    host_segs = pipeline.entropy_host.encode_scan(
+        pipeline.grayscale_coefficients(img, cfg),
+        segment_ids=np.arange((ph // 8) * (pw // 8)) // ((ph // n // 8) * (pw // 8)),
+        pad_ones=cfg.pad_ones,
+    )
+    assert segs == host_segs
+
+
+def test_restart_subsegments_dri_cap():
+    """Shards larger than DRI's 16-bit MCU limit split into equal
+    sub-segments with interval <= 65535 (ADVICE round-1 fix)."""
+    r = sharding.restart_subsegments(131072)  # 4096x4096 on 2 chips
+    assert r <= 0xFFFF and 131072 % r == 0
+    assert sharding.restart_subsegments(100) == 100
+    with pytest.raises(ValueError):
+        EncodeConfig(restart_interval=70000)
