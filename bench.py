@@ -56,6 +56,35 @@ def make_image(h: int, w: int, color: bool = False):
     return _np.stack([r.astype(np.uint8), g, b.astype(np.uint8)], axis=-1)
 
 
+def _chain_compute_ms(body, img_dev, reps, k=3):
+    """Pure device-compute time of one encode, dispatch-floor-free.
+
+    The tunneled transport adds a fixed ~30 ms per dispatch, so a single
+    program's wall time badly overstates small kernels. Chain K encodes
+    of DISTINCT inputs (img XOR i — defeats CSE) inside ONE program and
+    take (t_K - t_1) / (K - 1): the floor cancels exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def chain(n):
+        @jax.jit
+        def fn(img):
+            total = jnp.int32(0)
+            for i in range(n):
+                _, count, _ = body(img ^ jnp.uint8(i))
+                total = total + count
+            return total
+
+        return fn
+
+    f1, fk = chain(1), chain(k)
+    jax.device_get((f1(img_dev), fk(img_dev)))  # compile + warm both
+    t1, _ = _timeit(lambda: jax.device_get(f1(img_dev)), reps)
+    tk, _ = _timeit(lambda: jax.device_get(fk(img_dev)), reps)
+    return max((tk - t1) / (k - 1), 1e-9) * 1000
+
+
 def _timeit(fn, reps):
     times = []
     for _ in range(reps):
@@ -134,6 +163,15 @@ def main():
     t_dev, _ = _timeit(gray_device_only, reps)
     results["gray_device_mpix_s"] = round(mpix / t_dev, 2)
 
+    # dispatch-floor-free pure compute (chained-program delta)
+    t_ms = _chain_compute_ms(
+        lambda im: pipeline.gray_encode_body(
+            im, cfg, False, cfg.capacity_words_per_block, not host_stuff
+        ),
+        img_dev, reps,
+    )
+    results["gray_compute_mpix_s"] = round(mpix / (t_ms / 1000), 2)
+
     # ---------- 4:2:0 color (the BASELINE.json north-star config) ----------
     cimg = make_image(h, w, color=True)
     ccfg = EncodeConfig(subsampling="420")
@@ -183,6 +221,14 @@ def main():
     t_cdev, _ = _timeit(color_device_only, reps)
     results["color_device_mpix_s"] = round(mpix / t_cdev, 2)
 
+    t_ms = _chain_compute_ms(
+        lambda im: color_pipeline.color_encode_body(
+            im, ccfg, ccfg.capacity_words_per_block, not host_stuff
+        ),
+        cimg_dev, reps,
+    )
+    results["color_compute_mpix_s"] = round(mpix / (t_ms / 1000), 2)
+
     # ---------- batched encode (BASELINE config 4: many images / chip) ----
     # Device-compute throughput per dispatch; the image axis folds into
     # the Pallas block grid (batch._batch_encode_fn), so per-image device
@@ -191,7 +237,13 @@ def main():
     bh = bw = 512
     rngs = np.random.default_rng(7)
     batch_np = np.stack(
-        [make_image(bh, bw) + rngs.integers(0, 8) for _ in range(nb_img)]
+        [
+            np.clip(
+                make_image(bh, bw).astype(np.int16) + rngs.integers(0, 8),
+                0, 255,
+            )
+            for _ in range(nb_img)
+        ]
     ).astype(np.uint8)
     from jpegtpu import batch as batch_mod
 

@@ -104,28 +104,73 @@ def _batch_color_fn(
     apply. Returns fn(imgs) -> (streams, total_bits, overflow)."""
     from . import color_pipeline as cp
 
+    from .entropy import treepack
+
     basis_np = cfg.dct_basis()
     qtl_np = cfg.luma_quant.astype(np.float32)
     qtc_np = cfg.chroma_quant.astype(np.float32)
     gather_idx, table_sel, comp_id = cp._scan_layout(ph, pw, cfg.subsampling)
     nslots = gather_idx.shape[0]
+    nbh, nbw = ph // 8, pw // 8
+    cap = cap_words_per_block
 
     def encode_local(imgs):
+        # Gather-free batched color pack: the image axis folds into the
+        # Pallas block grid per component class; per-image DC chains are
+        # dc_differences with a per-image reset; the scan-order merge and
+        # per-image split are pure relayouts (cp._color_block_words
+        # semantics, batched).
         b = imgs.shape[0]
-        zz = jax.vmap(
-            lambda im: cp._color_levels(
+        zy, zcb, zcr = jax.vmap(
+            lambda im: cp._component_levels(
                 im, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
                 jnp.asarray(qtc_np),
             )
         )(imgs)
-        dcd = jax.vmap(
-            lambda d: cp._per_component_dc_diff(d, comp_id)
-        )(zz[:, :, 0].astype(jnp.int32))
-        flat = zz.reshape(b * nslots, 64).astype(jnp.int32)
-        return entropy_device.encode_segments_device(
-            flat, nslots, b * nslots, np.tile(table_sel, b),
-            dcd.reshape(-1), cap_words_per_block, pad_ones=cfg.pad_ones,
+        zy = zy.astype(jnp.int32)
+        zcb = zcb.astype(jnp.int32)
+        zcr = zcr.astype(jnp.int32)
+        ny = zy.shape[1]
+        nmcu = zcb.shape[1]
+        if cfg.subsampling == "420":
+            y_scan = (
+                zy.reshape(b, nbh // 2, 2, nbw // 2, 2, 64)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b * ny, 64)
+            )
+            ky = 4
+        else:
+            y_scan = zy.reshape(b * ny, 64)
+            ky = 1
+        c_scan = jnp.stack([zcb, zcr], axis=2).reshape(b * 2 * nmcu, 64)
+        dcd_y = entropy_device.dc_differences(y_scan[:, 0], ny)
+        dcd_c = jnp.stack(
+            [
+                entropy_device.dc_differences(
+                    zcb[:, :, 0].reshape(-1), nmcu
+                ).reshape(b, nmcu),
+                entropy_device.dc_differences(
+                    zcr[:, :, 0].reshape(-1), nmcu
+                ).reshape(b, nmcu),
+            ],
+            axis=2,
+        ).reshape(-1)
+        w_y, b_y, ov_y = entropy_device._per_block_words(y_scan, 0, dcd_y, cap)
+        w_c, b_c, ov_c = entropy_device._per_block_words(c_scan, 1, dcd_c, cap)
+        w_all = jnp.concatenate(
+            [w_y.reshape(cap, b, nmcu, ky), w_c.reshape(cap, b, nmcu, 2)],
+            axis=3,
+        ).reshape(cap, b, nslots)
+        b_all = jnp.concatenate(
+            [b_y.reshape(b, nmcu, ky), b_c.reshape(b, nmcu, 2)], axis=2
+        ).reshape(b, nslots)
+        streams, totals = treepack.concat_segments_tree(
+            w_all, b_all, out_words_per_seg=nslots * cap
         )
+        streams, totals = treepack.apply_tail_padding_segments(
+            streams, totals, cfg.pad_ones
+        )
+        return streams, totals, ov_y | ov_c
 
     if mesh is None:
         return jax.jit(encode_local)

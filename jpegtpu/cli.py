@@ -28,7 +28,23 @@ def _cmd_encode(args) -> int:
         entropy=args.entropy,
     )
     t0 = time.perf_counter()
-    nbytes = pipeline.encode_file(args.input, args.output, config)
+    if getattr(args, "sharded", False):
+        from .io import bmp as bmp_io
+
+        img = bmp_io.read(args.input)
+        if config.subsampling == "gray":
+            from .parallel import sharding
+
+            data = sharding.encode_grayscale_sharded(img, config)
+        else:
+            from . import color_pipeline
+
+            data = color_pipeline.encode_color_sharded(img, config)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        nbytes = len(data)
+    else:
+        nbytes = pipeline.encode_file(args.input, args.output, config)
     dt = time.perf_counter() - t0
     if args.stats:
         from .io import bmp
@@ -40,6 +56,72 @@ def _cmd_encode(args) -> int:
             f"({w * h / dt / 1e6:.1f} MPix/s incl. warmup/compile)",
             file=sys.stderr,
         )
+    return 0
+
+
+def _cmd_encode_dir(args) -> int:
+    """Batch encode: every BMP in <input_dir> -> <output_dir>/<stem>.jpeg,
+    batched into one-or-few device dispatches per shape bucket
+    (batch.encode_*_batch) — the serving-throughput path."""
+    import glob
+    import os
+
+    from . import batch
+    from .config import EncodeConfig
+    from .io import bmp as bmp_io
+
+    config = EncodeConfig(
+        quality=args.quality,
+        subsampling=args.subsampling,
+        entropy="device",
+    )
+    paths = sorted(glob.glob(os.path.join(args.input_dir, "*.bmp")))
+    if not paths:
+        print("no .bmp files found", file=sys.stderr)
+        return 1
+    images = [bmp_io.read(p) for p in paths]
+    t0 = time.perf_counter()
+    if config.subsampling == "gray":
+        outs = batch.encode_grayscale_batch(images, config)
+    else:
+        outs = batch.encode_color_batch(images, config)
+    dt = time.perf_counter() - t0
+    os.makedirs(args.output_dir, exist_ok=True)
+    total_px = 0
+    for p, img, data in zip(paths, images, outs):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        with open(os.path.join(args.output_dir, stem + ".jpeg"), "wb") as f:
+            f.write(data)
+        total_px += img.shape[0] * img.shape[1]
+    if args.stats:
+        print(
+            f"{len(paths)} images, {total_px / 1e6:.1f} MPix in {dt:.2f}s "
+            f"({total_px / dt / 1e6:.1f} MPix/s incl. warmup/compile)",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def _cmd_profile(args) -> int:
+    """Per-stage timing table of the production encode path — the
+    reference's cycle report (dsp main.c:137-172), TPU-style."""
+    from . import profiling
+    from .config import EncodeConfig
+    from .io import bmp as bmp_io
+
+    img = bmp_io.read(args.input)
+    h, w = img.shape[:2]
+    if args.subsampling == "gray":
+        stages = profiling.profile_encode(
+            img, EncodeConfig(quality=args.quality), reps=args.reps
+        )
+    else:
+        stages = profiling.profile_encode_color(
+            img,
+            EncodeConfig(quality=args.quality, subsampling=args.subsampling),
+            reps=args.reps,
+        )
+    print(profiling.format_report(stages, h, w))
     return 0
 
 
@@ -97,8 +179,36 @@ def main(argv=None) -> int:
     )
     enc.add_argument("--restart-interval", type=int, default=0)
     enc.add_argument("--entropy", choices=["device", "host"], default="device")
+    enc.add_argument(
+        "--sharded", action="store_true",
+        help="shard MCU rows across all visible devices (restart-marker "
+        "stitching; works on multi-host meshes)",
+    )
     enc.add_argument("--stats", action="store_true")
     enc.set_defaults(fn=_cmd_encode)
+
+    encd = sub.add_parser(
+        "encode-dir", help="batch-encode every BMP in a directory"
+    )
+    encd.add_argument("input_dir")
+    encd.add_argument("output_dir")
+    encd.add_argument("--quality", type=int, default=50)
+    encd.add_argument(
+        "--subsampling", choices=["gray", "420", "444"], default="gray"
+    )
+    encd.add_argument("--stats", action="store_true")
+    encd.set_defaults(fn=_cmd_encode_dir)
+
+    prof = sub.add_parser(
+        "profile", help="per-stage timing table of the production path"
+    )
+    prof.add_argument("input")
+    prof.add_argument("--quality", type=int, default=50)
+    prof.add_argument(
+        "--subsampling", choices=["gray", "420", "444"], default="gray"
+    )
+    prof.add_argument("--reps", type=int, default=5)
+    prof.set_defaults(fn=_cmd_profile)
 
     ana = sub.add_parser(
         "analyze", help="quality metrics vs original (MSE/PSNR/SSIM/CR/BPP)"

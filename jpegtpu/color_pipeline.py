@@ -105,9 +105,9 @@ def _per_component_dc_diff(
     return dc - prev
 
 
-def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
-    """Padded RGB [PH, PW, 3] -> interleaved zigzag levels [nslots, 64]."""
-    ph, pw = img.shape[:2]
+def _component_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
+    """Padded RGB [PH, PW, 3] -> per-component zigzag levels
+    (zy [ny, 64], zcb [nc, 64], zcr [nc, 64]), each in raster block order."""
     ycc = color.rgb_to_ycbcr(img)
     y = ycc[..., 0]
     cb, cr = ycc[..., 1], ycc[..., 2]
@@ -131,9 +131,67 @@ def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
     zy = component_levels(y, qt_luma)
     zcb = component_levels(cb, qt_chroma)
     zcr = component_levels(cr, qt_chroma)
+    return zy, zcb, zcr
+
+
+def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
+    """Padded RGB [PH, PW, 3] -> interleaved zigzag levels [nslots, 64]."""
+    ph, pw = img.shape[:2]
+    zy, zcb, zcr = _component_levels(img, cfg, basis, qt_luma, qt_chroma)
     allz = jnp.concatenate([zy, zcb, zcr], axis=0)
     gather_idx, _, _ = _scan_layout(ph, pw, cfg.subsampling)
     return allz[jnp.asarray(gather_idx)]
+
+
+def _y_scan_relayout(zy, nbh: int, nbw: int, subsampling: str):
+    """Y raster blocks -> scan emission order. For 4:2:0 the scan visits
+    2x2 Y blocks per MCU (T.81 A.2.3) — a pure reshape/transpose, NOT a
+    gather; 4:4:4 scan order IS raster order."""
+    if subsampling != "420":
+        return zy, 1
+    return (
+        zy.reshape(nbh // 2, 2, nbw // 2, 2, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, 64),
+        4,
+    )
+
+
+def _color_block_words(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
+                       cap: int):
+    """Per-block packed streams for the interleaved color scan, ZERO
+    gathers: Y relayouts to scan order (reshape/transpose), Cb/Cr
+    alternate via a stack, each component class runs one fused Pallas
+    launch with its own table, and the merge back to scan order is a
+    concat along a per-MCU axis. Per-component DC chains ride the
+    component-major layouts directly.
+
+    Returns (words_t [cap, nslots], bits [nslots], overflow) with slots
+    in exact scan order — identical bits to the generic grouped path."""
+    y_scan, ky = _y_scan_relayout(zy.astype(jnp.int32), nbh, nbw, subsampling)
+    zcb = zcb.astype(jnp.int32)
+    zcr = zcr.astype(jnp.int32)
+    c_scan = jnp.stack([zcb, zcr], axis=1).reshape(-1, 64)  # cb0 cr0 cb1 ...
+    dcd_y = entropy_device.dc_differences(y_scan[:, 0], 0)
+    dcd_c = jnp.stack(
+        [
+            entropy_device.dc_differences(zcb[:, 0], 0),
+            entropy_device.dc_differences(zcr[:, 0], 0),
+        ],
+        axis=1,
+    ).reshape(-1)
+    # _per_block_words picks the fused Pallas kernel for cap <= 16 and
+    # the staged XLA pack for the worst-case capacity retry.
+    w_y, b_y, ov_y = entropy_device._per_block_words(y_scan, 0, dcd_y, cap)
+    w_c, b_c, ov_c = entropy_device._per_block_words(c_scan, 1, dcd_c, cap)
+    nmcu = zcb.shape[0]
+    w_all = jnp.concatenate(
+        [w_y.reshape(cap, nmcu, ky), w_c.reshape(cap, nmcu, 2)], axis=2
+    ).reshape(cap, -1)
+    b_all = jnp.concatenate(
+        [b_y.reshape(nmcu, ky), b_c.reshape(nmcu, 2)], axis=1
+    ).reshape(-1)
+    return w_all, b_all, ov_y | ov_c
 
 
 @functools.lru_cache(maxsize=64)
@@ -141,35 +199,47 @@ def _encode_color_device(
     ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
     stuff: bool = True,
 ):
-    """Jitted full color encode: padded RGB -> (bytes, nbytes, overflowed).
-
-    table_sel stays a STATIC numpy array so the entropy coder takes the
-    fused multi-table Pallas path (one kernel launch per table class).
-    stuff=False returns (words, total_bits, overflow) for the host-native
-    stuffer instead of stuffed bytes."""
-    subsampling = cfg.subsampling
-    basis_np = cfg.dct_basis()
-    qtl_np = cfg.luma_quant.astype(np.float32)
-    qtc_np = cfg.chroma_quant.astype(np.float32)
-    gather_idx, table_sel, comp_id = _scan_layout(ph, pw, subsampling)
-    nslots = gather_idx.shape[0]
+    """Jitted full color encode: padded RGB -> (bytes, nbytes, overflowed)
+    via the gather-free fused path (color_encode_body). stuff=False
+    returns (words, total_bits, overflow) for the host-native stuffer
+    instead of stuffed bytes. (ph, pw) key the jit cache."""
 
     @jax.jit
     def fn(img):
-        zz = _color_levels(
-            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np), jnp.asarray(qtc_np)
-        )
-        dc_diff = _per_component_dc_diff(zz[:, 0], comp_id)
-        return entropy_device.encode_scan_device(
-            zz,
-            table_sel=table_sel,
-            dc_diff=dc_diff,
-            capacity_words=nslots * cap_words_per_block,
-            pad_ones=cfg.pad_ones,
-            stuff=stuff,
-        )
+        return color_encode_body(img, cfg, cap_words_per_block, stuff)
 
     return fn
+
+
+def color_encode_body(img, cfg: EncodeConfig, cap_words_per_block: int,
+                      stuff: bool):
+    """Traceable full color encode body (gather-free fused path; compose
+    under jit freely). img: padded RGB [PH, PW, 3]."""
+    from .entropy import treepack
+
+    ph, pw = img.shape[:2]
+    nbh, nbw = ph // 8, pw // 8
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    # Per-component transforms feed the relayout-based block pack directly
+    # (no interleave gather); _per_block_words inside falls back to the
+    # staged pack for the worst-case capacity retry.
+    zy, zcb, zcr = _component_levels(
+        img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+        jnp.asarray(qtc_np),
+    )
+    w_all, b_all, overflow = _color_block_words(
+        zy, zcb, zcr, nbh, nbw, cfg.subsampling, cap_words_per_block
+    )
+    words, total_bits = treepack.concat_blocks_tree(w_all, b_all)
+    words, total_bits = treepack._apply_tail_padding(
+        words, total_bits, cfg.pad_ones
+    )
+    if not stuff:
+        return words, total_bits, overflow
+    out, nbytes = entropy_device.stuff_bytes_device(words, total_bits)
+    return out, nbytes, overflow
 
 
 @functools.lru_cache(maxsize=32)
@@ -387,15 +457,35 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
     seg_slots = restart_subsegments(mcu_per_shard) * slots_per_mcu
 
     def local_encode(img_local):
-        zz = _color_levels(
-            img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
-            jnp.asarray(qtc_np),
-        ).astype(jnp.int32)
-        dc_diff = _per_component_dc_diff(zz[:, 0], comp_id, seg_slots)
-        streams, totals, overflow = entropy_device.encode_segments_device(
-            zz, seg_slots, nslots, table_sel, dc_diff,
-            cap_words_per_block, pad_ones=cfg.pad_ones,
-        )
+        from .entropy import treepack
+
+        if seg_slots == nslots:
+            # one restart segment per shard: the gather-free fused pack
+            zy, zcb, zcr = _component_levels(
+                img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+                jnp.asarray(qtc_np),
+            )
+            w_all, b_all, overflow = _color_block_words(
+                zy, zcb, zcr, ph_local // 8, pw // 8, cfg.subsampling,
+                cap_words_per_block,
+            )
+            streams, totals = treepack.concat_segments_tree(
+                w_all[:, None], b_all[None],
+                out_words_per_seg=nslots * cap_words_per_block,
+            )
+            streams, totals = treepack.apply_tail_padding_segments(
+                streams, totals, cfg.pad_ones
+            )
+        else:
+            zz = _color_levels(
+                img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+                jnp.asarray(qtc_np),
+            ).astype(jnp.int32)
+            dc_diff = _per_component_dc_diff(zz[:, 0], comp_id, seg_slots)
+            streams, totals, overflow = entropy_device.encode_segments_device(
+                zz, seg_slots, nslots, table_sel, dc_diff,
+                cap_words_per_block, pad_ones=cfg.pad_ones,
+            )
         all_totals = jax.lax.all_gather(totals, "shard")  # [n, k]
         return streams[None], all_totals, overflow[None]
 

@@ -89,23 +89,31 @@ def _encode_gray_device(
     stuff=True: padded image -> (stuffed entropy bytes, nbytes, overflow).
     stuff=False: -> (packed words, total_bits, overflow); the host finishes
     with the native stuffer (native.words_to_stuffed)."""
-    basis_np = cfg.dct_basis()
-    qtable_np = cfg.luma_quant.astype(np.float32)
-    nb = (ph // 8) * (pw // 8)
-
     @jax.jit
     def fn(img):
-        zz = _gray_levels(
-            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
-        )
-        return entropy_device.encode_scan_device(
-            zz,
-            capacity_words=nb * cap_words_per_block,
-            pad_ones=cfg.pad_ones,
-            stuff=stuff,
-        )
+        return gray_encode_body(img, cfg, is_rgb, cap_words_per_block, stuff)
 
     return fn
+
+
+def gray_encode_body(img, cfg: EncodeConfig, is_rgb: bool,
+                     cap_words_per_block: int, stuff: bool):
+    """Traceable full grayscale encode body (compose under jit freely —
+    e.g. the bench chains K of these in one program to measure pure
+    device compute without the per-dispatch transport floor)."""
+    ph, pw = img.shape[:2]
+    nb = (ph // 8) * (pw // 8)
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
+    zz = _gray_levels(
+        img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
+    )
+    return entropy_device.encode_scan_device(
+        zz,
+        capacity_words=nb * cap_words_per_block,
+        pad_ones=cfg.pad_ones,
+        stuff=stuff,
+    )
 
 
 def grayscale_coefficients(

@@ -129,6 +129,75 @@ def profile_encode(
     return results
 
 
+def profile_encode_color(
+    image: np.ndarray, config: EncodeConfig | None = None, reps: int = 5
+) -> list[StageTiming]:
+    """Stage-attributed timings of the production 4:2:0/4:4:4 color
+    encode: convert+transform (all three components), fused multi-table
+    block pack, across-block concat, host finish."""
+    from . import color_pipeline as cp
+
+    config = config or EncodeConfig(subsampling="420")
+    h, w = image.shape[:2]
+    ph, pw = cp.padded_dims_color(h, w, config.subsampling)
+    if image.ndim == 2:
+        image = np.repeat(image[..., None], 3, axis=-1)
+    if (ph, pw) != (h, w):
+        image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
+    cap = config.capacity_words_per_block
+    basis_np = config.dct_basis()
+    qtl_np = config.luma_quant.astype(np.float32)
+    qtc_np = config.chroma_quant.astype(np.float32)
+    gather_idx, table_sel, comp_id = cp._scan_layout(ph, pw, config.subsampling)
+
+    def levels(img):
+        return cp._color_levels(
+            img, config, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        )
+
+    def block_pack(img):
+        zz = levels(img).astype(jnp.int32)
+        dcd = cp._per_component_dc_diff(zz[:, 0], comp_id)
+        return entropy_device._per_block_words(zz, table_sel, dcd, cap)
+
+    def concat(img):
+        zz = levels(img)
+        dcd = cp._per_component_dc_diff(zz[:, 0].astype(jnp.int32), comp_id)
+        return entropy_device.encode_scan_device(
+            zz, table_sel=table_sel, dc_diff=dcd,
+            capacity_words=zz.shape[0] * cap, pad_ones=config.pad_ones,
+            stuff=False,
+        )
+
+    img_dev = jnp.asarray(image)
+    results = []
+    prev = 0.0
+    for name, fraw in (
+        ("convert+dct", levels),
+        ("block_pack", block_pack),
+        ("concat", concat),
+    ):
+        f = jax.jit(fraw)
+        jax.block_until_ready(jax.device_get(f(img_dev)))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(jax.tree.map(lambda x: x.sum() if x.ndim else x, f(img_dev)))
+            ts.append(time.perf_counter() - t0)
+        total = min(ts) * 1000
+        results.append(
+            StageTiming(
+                name=name,
+                total_ms=round(total, 2),
+                stage_ms=round(total - prev, 2),
+                mpix_per_s=round(h * w / (total / 1000) / 1e6, 1),
+            )
+        )
+        prev = total
+    return results
+
+
 def format_report(stages: list[StageTiming], h: int, w: int) -> str:
     """Pretty table, the analog of the reference's print_profiling_stats
     (dsp main.c:137-172)."""
