@@ -61,8 +61,11 @@ def _chain_compute_ms(body, img_dev, reps, k=3):
 
     The tunneled transport adds a fixed ~30 ms per dispatch, so a single
     program's wall time badly overstates small kernels. Chain K encodes
-    of DISTINCT inputs (img XOR i — defeats CSE) inside ONE program and
-    take (t_K - t_1) / (K - 1): the floor cancels exactly.
+    inside ONE program and take (t_K - t_1) / (K - 1): the floor cancels.
+    Two traps guarded here: every output (including the packed stream)
+    feeds the returned scalar, so XLA cannot dead-code-eliminate the
+    concat; and each encode's input depends on the previous encode's
+    result, so the chain is strictly serial (no cross-encode overlap).
     """
     import jax
     import jax.numpy as jnp
@@ -70,10 +73,12 @@ def _chain_compute_ms(body, img_dev, reps, k=3):
     def chain(n):
         @jax.jit
         def fn(img):
-            total = jnp.int32(0)
-            for i in range(n):
-                _, count, _ = body(img ^ jnp.uint8(i))
-                total = total + count
+            total = jnp.uint32(0)
+            for _ in range(n):
+                words, count, _ = body(img ^ (total & 1).astype(img.dtype))
+                total = total + count.astype(jnp.uint32) + jnp.sum(
+                    words.astype(jnp.uint32)
+                )
             return total
 
         return fn
@@ -198,7 +203,7 @@ def main():
             seg = pipeline.fetch_prefix(out, count).tobytes()
         return jfif.assemble(w, h, ccfg, [seg]), seg
 
-    cimg_dev = jnp.asarray(cimg_p)
+    cimg_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(cimg_p, -1, 0)))
     cdata, color_seg = color_finish(*cfn(cimg_dev))  # warmup
     assert cdata[:2] == b"\xff\xd8"
 

@@ -227,7 +227,9 @@ def encode_color_batch(
             h, w = img.shape[:2]
             if (ph, pw) != (h, w):
                 img = np.pad(img, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
-            batch.append(img)
+            # planar [3, PH, PW] at the device boundary (see
+            # color_pipeline._component_levels)
+            batch.append(np.ascontiguousarray(np.moveaxis(img, -1, 0)))
         bsz = _bucket_batch(len(batch))
         if mesh is not None:
             n_dev = mesh.devices.size

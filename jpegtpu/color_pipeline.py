@@ -106,11 +106,15 @@ def _per_component_dc_diff(
 
 
 def _component_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
-    """Padded RGB [PH, PW, 3] -> per-component zigzag levels
-    (zy [ny, 64], zcb [nc, 64], zcr [nc, 64]), each in raster block order."""
-    ycc = color.rgb_to_ycbcr(img)
-    y = ycc[..., 0]
-    cb, cr = ycc[..., 1], ycc[..., 2]
+    """Padded PLANAR RGB [3, PH, PW] -> per-component zigzag levels
+    (zy [ny, 64], zcb [nc, 64], zcr [nc, 64]), each in raster block order.
+
+    Planar input is the device-boundary contract: interleaved [PH, PW, 3]
+    puts 3 elements on the minor axis, which the TPU layout pads ~40x and
+    every channel slice then re-relayouts (measured ~29 ms of the color
+    transform stage). The reference's DSP host stores planar channels in
+    shared DDR for the same reason (dsp bmp_handler.c:78-80)."""
+    y, cb, cr = color.rgb_planar_to_ycbcr(img)
     if cfg.subsampling == "420":
         cb = color.subsample_420(cb)
         cr = color.subsample_420(cr)
@@ -135,8 +139,9 @@ def _component_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
 
 
 def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
-    """Padded RGB [PH, PW, 3] -> interleaved zigzag levels [nslots, 64]."""
-    ph, pw = img.shape[:2]
+    """Padded PLANAR RGB [3, PH, PW] -> interleaved zigzag levels
+    [nslots, 64] (scan order; the host-coder / test-oracle layout)."""
+    ph, pw = img.shape[1:]
     zy, zcb, zcr = _component_levels(img, cfg, basis, qt_luma, qt_chroma)
     allz = jnp.concatenate([zy, zcb, zcr], axis=0)
     gather_idx, _, _ = _scan_layout(ph, pw, cfg.subsampling)
@@ -214,10 +219,10 @@ def _encode_color_device(
 def color_encode_body(img, cfg: EncodeConfig, cap_words_per_block: int,
                       stuff: bool):
     """Traceable full color encode body (gather-free fused path; compose
-    under jit freely). img: padded RGB [PH, PW, 3]."""
+    under jit freely). img: padded PLANAR RGB [3, PH, PW]."""
     from .entropy import treepack
 
-    ph, pw = img.shape[:2]
+    ph, pw = img.shape[1:]
     nbh, nbw = ph // 8, pw // 8
     basis_np = cfg.dct_basis()
     qtl_np = cfg.luma_quant.astype(np.float32)
@@ -305,7 +310,7 @@ def color_coefficients(image: np.ndarray, config: EncodeConfig):
     if (ph, pw) != (h, w):
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
     fn = _levels_fn(ph, pw, config)
-    zz = fn(jnp.asarray(image))
+    zz = fn(jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0))))
     _, table_sel, comp_id = _scan_layout(ph, pw, config.subsampling)
     return np.asarray(zz), table_sel, comp_id
 
@@ -323,7 +328,7 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
     if config.entropy == "device" and not config.restart_interval:
         from . import pipeline
 
-        img_dev = jnp.asarray(image)
+        img_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0)))
         host_stuff = config.stuff == "host" and pipeline._native_available()
         for cap in pipeline.capacity_ladder(config):
             fn = _encode_color_device(ph, pw, config, cap, stuff=not host_stuff)
@@ -347,7 +352,7 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
         # program (same segment machinery the mesh shards use).
         from . import pipeline
 
-        img_dev = jnp.asarray(image)
+        img_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0)))
         for cap in pipeline.capacity_ladder(config):
             fn = _encode_color_restart_device(ph, pw, config, cap)
             streams, totals, overflow = fn(img_dev)
@@ -412,7 +417,11 @@ def encode_color_sharded(
     )
     from jax.sharding import PartitionSpec as P
 
-    img_global = global_input(image, mesh, P("shard", None, None))
+    img_global = global_input(
+        np.ascontiguousarray(np.moveaxis(image, -1, 0)),
+        mesh,
+        P(None, "shard", None),  # planar [3, H, W], bands along H
+    )
     for cap in _pipeline.capacity_ladder(config):
         fn = _sharded_color_fn(mesh, ph, pw, config, cap)
         streams, totals, overflow = fn(img_global)
@@ -492,7 +501,7 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
     sharded = jax.shard_map(
         local_encode,
         mesh=mesh,
-        in_specs=P("shard", None, None),
+        in_specs=P(None, "shard", None),  # planar [3, H, W]
         out_specs=(P("shard", None, None), P(None, None), P("shard")),
         check_vma=False,
     )

@@ -41,6 +41,26 @@ def rgb_to_ycbcr(rgb: jnp.ndarray) -> jnp.ndarray:
     return out.astype(jnp.uint8)
 
 
+def rgb_planar_to_ycbcr(rgbp: jnp.ndarray):
+    """Channel-PLANAR [3, H, W] uint8 -> (y, cb, cr) 2D uint8 planes.
+
+    The planar layout is the device-boundary contract for the color path:
+    an interleaved [H, W, 3] array puts 3 elements on the minor (lane)
+    axis, which TPU layouts pad catastrophically and every channel slice
+    then re-relayouts. The reference's DSP host made the same call —
+    planar R/G/B channels in shared DDR (dsp bmp_handler.c:78-80).
+    Same fixed-point math as rgb_to_ycbcr.
+    """
+    r = rgbp[0].astype(jnp.int32)
+    g = rgbp[1].astype(jnp.int32)
+    b = rgbp[2].astype(jnp.int32)
+    half = 1 << 15
+    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+    cb = jnp.clip(((-11059 * r - 21709 * g + 32768 * b + half) >> 16) + 128, 0, 255)
+    cr = jnp.clip(((32768 * r - 27439 * g - 5329 * b + half) >> 16) + 128, 0, 255)
+    return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+
+
 def subsample_420(chan: jnp.ndarray) -> jnp.ndarray:
     """2x2 box-average chroma subsampling. [H, W] -> [H/2, W/2] uint8.
 

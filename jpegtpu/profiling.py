@@ -144,6 +144,7 @@ def profile_encode_color(
         image = np.repeat(image[..., None], 3, axis=-1)
     if (ph, pw) != (h, w):
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
+    image = np.ascontiguousarray(np.moveaxis(image, -1, 0))  # planar
     cap = config.capacity_words_per_block
     basis_np = config.dct_basis()
     qtl_np = config.luma_quant.astype(np.float32)

@@ -64,7 +64,9 @@ def main():
     gpw = -(-w // 8) * 8
     cph, cpw = cp.padded_dims_color(h, w, "420")
     gimg = jnp.asarray(make_image(gph, gpw))
-    cimg = jnp.asarray(make_image(cph, cpw, color=True))
+    cimg = jnp.asarray(
+        np.ascontiguousarray(np.moveaxis(make_image(cph, cpw, color=True), -1, 0))
+    )
 
     basis = cfg.dct_basis()
     qtl = cfg.luma_quant.astype(np.float32)
@@ -82,8 +84,9 @@ def main():
         return jnp.sum(b_).astype(jnp.float32) + jnp.sum(w_).astype(jnp.float32)
 
     def g_full(im):
-        _, count, _ = pipeline.gray_encode_body(im, cfg, False, cap, False)
-        return count.astype(jnp.float32)
+        words, count, _ = pipeline.gray_encode_body(im, cfg, False, cap, False)
+        # consume the stream too — count alone lets XLA DCE the concat
+        return count.astype(jnp.float32) + jnp.sum(words).astype(jnp.float32)
 
     def c_levels(im):
         zy, zcb, zcr = cp._component_levels(im, ccfg, jnp.asarray(basis), jnp.asarray(qtl), jnp.asarray(qtc))
@@ -95,8 +98,8 @@ def main():
         return jnp.sum(b_).astype(jnp.float32) + jnp.sum(w_).astype(jnp.float32)
 
     def c_full(im):
-        _, count, _ = cp.color_encode_body(im, ccfg, cap, False)
-        return count.astype(jnp.float32)
+        words, count, _ = cp.color_encode_body(im, ccfg, cap, False)
+        return count.astype(jnp.float32) + jnp.sum(words).astype(jnp.float32)
 
     rows = [
         ("gray levels", g_levels, gimg),
