@@ -66,10 +66,19 @@ def subsample_420(chan: jnp.ndarray) -> jnp.ndarray:
 
     H and W must be even (pad with pad_edge(multiple=2) first).
     Rounds to nearest (adds 2 before >> 2), matching libjpeg's box filter.
+
+    Lowered as a native 2x2/stride-2 reduce_window (XLA pooling): both a
+    reshape to [H/2, 2, W/2, 2] (minor axis 2 -> 64x lane padding,
+    ~29 ms/12 MPix measured) and four stride-2 slices (~200 ms) are
+    layout-hostile on TPU; the pooling primitive is the supported form.
     """
-    h, w = chan.shape
-    x = chan.astype(jnp.int32).reshape(h // 2, 2, w // 2, 2)
-    return ((x.sum(axis=(1, 3)) + 2) >> 2).astype(jnp.uint8)
+    import jax.lax as lax
+
+    s = lax.reduce_window(
+        chan.astype(jnp.int32), 0, lax.add,
+        window_dimensions=(2, 2), window_strides=(2, 2), padding="VALID",
+    )
+    return ((s + 2) >> 2).astype(jnp.uint8)
 
 
 def level_shift(y: jnp.ndarray) -> jnp.ndarray:
