@@ -88,3 +88,23 @@ def test_color_grayscale_input_promotes():
     out = np.asarray(dec)
     # gray input -> all channels near-equal after roundtrip
     assert np.abs(out[..., 0].astype(int) - out[..., 1].astype(int)).max() <= 24
+
+
+def test_subsample_420_box_filter_semantics():
+    """subsample_420 must equal the scalar box filter with round-to-
+    nearest ((a+b+c+d+2)>>2) — an independent numpy oracle, since the
+    entropy-parity tests consume the device's own coefficients."""
+    import jax.numpy as jnp
+
+    from jpegtpu.ops import color as color_ops
+
+    rng = np.random.default_rng(3)
+    chan = rng.integers(0, 256, (34, 52), dtype=np.uint8)
+    got = np.asarray(color_ops.subsample_420(jnp.asarray(chan)))
+    x = chan.astype(np.int64).reshape(17, 2, 26, 2)
+    want = ((x.sum(axis=(1, 3)) + 2) >> 2).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+    # full-range corners survive (no overflow/clip errors)
+    flat = np.full((4, 4), 255, np.uint8)
+    assert np.all(np.asarray(color_ops.subsample_420(jnp.asarray(flat))) == 255)
