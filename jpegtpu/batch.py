@@ -157,15 +157,19 @@ def _batch_color_fn(
         ).reshape(-1)
         w_y, b_y, ov_y = entropy_device._per_block_words(y_scan, 0, dcd_y, cap)
         w_c, b_c, ov_c = entropy_device._per_block_words(c_scan, 1, dcd_c, cap)
-        w_all = jnp.concatenate(
-            [w_y.reshape(cap, b, nmcu, ky), w_c.reshape(cap, b, nmcu, 2)],
-            axis=3,
-        ).reshape(cap, b, nslots)
-        b_all = jnp.concatenate(
-            [b_y.reshape(b, nmcu, ky), b_c.reshape(b, nmcu, 2)], axis=2
-        ).reshape(b, nslots)
+        # Fold each MCU's blocks into one stream by explicit tree levels
+        # (bits identical to slot-by-slot packing; see
+        # color_pipeline._color_block_words). Column pairs never cross an
+        # image boundary because every per-image count is even.
+        if ky == 4:
+            w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
+            w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
+        w_c, b_c = treepack.merge_adjacent_t(w_c, b_c)
+        w_all, b_all = treepack.merge_two_t(w_y, b_y, w_c, b_c)
+        mcu_cap = w_all.shape[0]
         streams, totals = treepack.concat_segments_tree(
-            w_all, b_all, out_words_per_seg=nslots * cap
+            w_all.reshape(mcu_cap, b, nmcu), b_all.reshape(b, nmcu),
+            out_words_per_seg=nslots * cap
         )
         streams, totals = treepack.apply_tail_padding_segments(
             streams, totals, cfg.pad_ones

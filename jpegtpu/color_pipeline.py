@@ -128,6 +128,12 @@ def _component_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
         th, tw = fused_transform.padded_dims_tile(ch, cw)
         if (th, tw) != (ch, cw):
             chan = jnp.pad(chan, ((0, th - ch), (0, tw - cw)), mode="edge")
+        if cfg.dct_dtype == "int32":
+            from .ops import int_transform
+
+            return int_transform.transform_tiled_int(
+                chan, qt, bitexact=cfg.bitexact, out_blocks=(ch // 8, cw // 8)
+            )
         return fused_transform.transform_tiled(
             chan, qt, bitexact=cfg.bitexact, out_blocks=(ch // 8, cw // 8)
         )
@@ -164,15 +170,21 @@ def _y_scan_relayout(zy, nbh: int, nbw: int, subsampling: str):
 
 def _color_block_words(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
                        cap: int):
-    """Per-block packed streams for the interleaved color scan, ZERO
-    gathers: Y relayouts to scan order (reshape/transpose), Cb/Cr
-    alternate via a stack, each component class runs one fused Pallas
-    launch with its own table, and the merge back to scan order is a
-    concat along a per-MCU axis. Per-component DC chains ride the
-    component-major layouts directly.
+    """Per-MCU packed streams for the interleaved color scan, ZERO
+    gathers AND zero small-minor-axis tensors: Y relayouts to scan order
+    (reshape/transpose), Cb/Cr alternate via a stack, each component
+    class runs one fused Pallas launch with its own table, and the scan
+    interleave happens by MERGING inside each MCU — bitstream concat is
+    associative, so three explicit tree levels in the lane-friendly
+    transposed [C, n_mcu] layout (y0‖y1, y2‖y3, then ‖, then ‖chroma)
+    produce one stream per MCU with bits identical to slot-by-slot
+    packing. Per-component DC chains ride the component-major layouts.
 
-    Returns (words_t [cap, nslots], bits [nslots], overflow) with slots
-    in exact scan order — identical bits to the generic grouped path."""
+    Returns (words_t [mcu_cap, nmcu], bits [nmcu], overflow) where
+    mcu_cap = cap * slots_per_mcu — MCU streams in scan order, ready for
+    concat_blocks_tree / concat_segments_tree."""
+    from .entropy import treepack
+
     y_scan, ky = _y_scan_relayout(zy.astype(jnp.int32), nbh, nbw, subsampling)
     zcb = zcb.astype(jnp.int32)
     zcr = zcr.astype(jnp.int32)
@@ -189,13 +201,11 @@ def _color_block_words(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
     # the staged XLA pack for the worst-case capacity retry.
     w_y, b_y, ov_y = entropy_device._per_block_words(y_scan, 0, dcd_y, cap)
     w_c, b_c, ov_c = entropy_device._per_block_words(c_scan, 1, dcd_c, cap)
-    nmcu = zcb.shape[0]
-    w_all = jnp.concatenate(
-        [w_y.reshape(cap, nmcu, ky), w_c.reshape(cap, nmcu, 2)], axis=2
-    ).reshape(cap, -1)
-    b_all = jnp.concatenate(
-        [b_y.reshape(nmcu, ky), b_c.reshape(nmcu, 2)], axis=1
-    ).reshape(-1)
+    if ky == 4:  # 4:2:0 — fold the 2x2 Y blocks of each MCU
+        w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)  # y01, y23
+        w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)  # y0123 [4cap, nmcu]
+    w_c, b_c = treepack.merge_adjacent_t(w_c, b_c)  # cb||cr [2cap, nmcu]
+    w_all, b_all = treepack.merge_two_t(w_y, b_y, w_c, b_c)
     return w_all, b_all, ov_y | ov_c
 
 

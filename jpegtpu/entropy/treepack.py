@@ -293,6 +293,31 @@ def concat_blocks_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
     return _deposit_concat(rows, bits, nb * cb)
 
 
+def merge_adjacent_t(words: jnp.ndarray, bits: jnp.ndarray):
+    """One explicit tree level in the transposed layout: merge adjacent
+    COLUMN pairs. words [C, N] (N even) -> ([2C, N/2], bits [N/2]).
+    Column 2i || column 2i+1, MSB-aligned."""
+    c, n = words.shape
+    a_w, b_w = words[:, 0::2], words[:, 1::2]
+    a_l, b_l = bits[0::2], bits[1::2]
+    a_w = jnp.pad(a_w, ((0, c), (0, 0)))
+    b_w = jnp.pad(b_w, ((0, c), (0, 0)))
+    merged = a_w | _shift_right_bits_t(b_w, a_l)
+    return merged, a_l + b_l
+
+
+def merge_two_t(wa: jnp.ndarray, ba: jnp.ndarray,
+                wb: jnp.ndarray, bb: jnp.ndarray):
+    """Columnwise concat of two transposed word arrays: result column i =
+    wa[:, i] || wb[:, i]. Capacities may differ; output capacity is the
+    sum. Returns ([Ca+Cb, N], bits [N])."""
+    ca, n = wa.shape
+    cb = wb.shape[0]
+    wa = jnp.pad(wa, ((0, cb), (0, 0)))
+    wb = jnp.pad(wb, ((0, ca), (0, 0)))
+    return wa | _shift_right_bits_t(wb, ba), ba + bb
+
+
 def concat_segments_tree(words_t: jnp.ndarray, bits: jnp.ndarray,
                          out_words_per_seg: int, radix: int = 4,
                          deposit_threshold: int = 256):

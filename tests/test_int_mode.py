@@ -58,3 +58,29 @@ def test_int_mode_stream_stable_across_runs():
     a = pipeline.encode_grayscale(img, cfg)
     b = pipeline.encode_grayscale(img, cfg)
     assert a == b
+
+
+def test_int_mode_color_deterministic_and_close_to_float():
+    """dct_dtype='int32' now applies to the color path too: the stream
+    must be identical across repeated encodes (determinism) and decode
+    within a small PSNR delta of the float path."""
+    import io
+
+    from PIL import Image
+
+    from jpegtpu import color_pipeline
+    from jpegtpu.analysis import psnr
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    cfg_i = EncodeConfig(subsampling="420", dct_dtype="int32")
+    a = color_pipeline.encode_color(img, cfg_i)
+    b = color_pipeline.encode_color(img, cfg_i)
+    assert a == b
+    f = color_pipeline.encode_color(img, EncodeConfig(subsampling="420"))
+    da = np.asarray(Image.open(io.BytesIO(a)).convert("RGB"), float)
+    df = np.asarray(Image.open(io.BytesIO(f)).convert("RGB"), float)
+    for c in range(3):
+        pi = psnr(img[..., c].astype(float), da[..., c])
+        pf = psnr(img[..., c].astype(float), df[..., c])
+        assert abs(pi - pf) < 0.2, (c, pi, pf)

@@ -93,3 +93,23 @@ def test_corpus_psnr_beats_reference_natural_c():
         dec = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
         orig = np.asarray(Image.open(path).convert("L"))
         assert psnr(orig, dec) >= bar - 0.01, name
+
+
+def test_color_sweep_monotonic(lena_gray):
+    """Color 4:2:0 rate and quality must be monotone in Q, and decode at
+    original size (the gray sweep's guarantees extended to the color
+    path the reference lacks)."""
+    from jpegtpu import color_pipeline
+
+    sizes, psnrs = [], []
+    for q in (10, 50, 95):
+        data = color_pipeline.encode_color(
+            lena_gray, EncodeConfig(quality=q, subsampling="420")
+        )
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert dec.shape == lena_gray.shape, q
+        sizes.append(len(data))
+        psnrs.append(psnr(lena_gray.astype(float), dec.astype(float)))
+    assert sizes == sorted(sizes), sizes
+    assert psnrs == sorted(psnrs), psnrs
+    assert psnrs[-1] > 35
