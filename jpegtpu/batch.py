@@ -132,16 +132,15 @@ def _batch_color_fn(
         zcr = zcr.astype(jnp.int32)
         ny = zy.shape[1]
         nmcu = zcb.shape[1]
+        ky = cp._MODES[cfg.subsampling]["ky"]
         if cfg.subsampling == "420":
             y_scan = (
                 zy.reshape(b, nbh // 2, 2, nbw // 2, 2, 64)
                 .transpose(0, 1, 3, 2, 4, 5)
                 .reshape(b * ny, 64)
             )
-            ky = 4
-        else:
+        else:  # 422/444: Y scan order IS raster order
             y_scan = zy.reshape(b * ny, 64)
-            ky = 1
         c_scan = jnp.stack([zcb, zcr], axis=2).reshape(b * 2 * nmcu, 64)
         dcd_y = entropy_device.dc_differences(y_scan[:, 0], ny)
         dcd_c = jnp.stack(
@@ -163,6 +162,8 @@ def _batch_color_fn(
         # image boundary because every per-image count is even.
         if ky == 4:
             w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
+            w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
+        elif ky == 2:
             w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
         w_c, b_c = treepack.merge_adjacent_t(w_c, b_c)
         w_all, b_all = treepack.merge_two_t(w_y, b_y, w_c, b_c)

@@ -175,7 +175,7 @@ def main(argv=None) -> int:
     enc.add_argument("output")
     enc.add_argument("--quality", type=int, default=50)
     enc.add_argument(
-        "--subsampling", choices=["gray", "420", "444"], default="gray"
+        "--subsampling", choices=["gray", "420", "422", "444"], default="gray"
     )
     enc.add_argument("--restart-interval", type=int, default=0)
     enc.add_argument("--entropy", choices=["device", "host"], default="device")
@@ -194,7 +194,7 @@ def main(argv=None) -> int:
     encd.add_argument("output_dir")
     encd.add_argument("--quality", type=int, default=50)
     encd.add_argument(
-        "--subsampling", choices=["gray", "420", "444"], default="gray"
+        "--subsampling", choices=["gray", "420", "422", "444"], default="gray"
     )
     encd.add_argument("--stats", action="store_true")
     encd.set_defaults(fn=_cmd_encode_dir)
@@ -205,7 +205,7 @@ def main(argv=None) -> int:
     prof.add_argument("input")
     prof.add_argument("--quality", type=int, default=50)
     prof.add_argument(
-        "--subsampling", choices=["gray", "420", "444"], default="gray"
+        "--subsampling", choices=["gray", "420", "422", "444"], default="gray"
     )
     prof.add_argument("--reps", type=int, default=5)
     prof.set_defaults(fn=_cmd_profile)

@@ -1,4 +1,4 @@
-"""Color (YCbCr) baseline encode: 4:4:4 and 4:2:0 interleaved scans.
+"""Color (YCbCr) baseline encode: 4:2:0, 4:2:2 and 4:4:4 interleaved scans.
 
 A capability the reference lacks entirely — it discards chroma at
 conversion (natural_c converter.c:51 keeps only Y; SURVEY.md §2.1 "scope
@@ -9,8 +9,9 @@ the shared on-device entropy coder with per-block table selectors and
 per-component DC chains.
 
 Layout (T.81 A.2.3): for 4:2:0 one MCU = 4 Y blocks (2x2) + Cb + Cr;
-for 4:4:4 one MCU = Y + Cb + Cr. Components use luminance (id 0) /
-chrominance (id 1) quant + Huffman tables.
+for 4:2:2 one MCU = 2 Y (horizontal pair) + Cb + Cr; for 4:4:4 one MCU =
+Y + Cb + Cr. Components use luminance (id 0) / chrominance (id 1) quant +
+Huffman tables.
 """
 from __future__ import annotations
 
@@ -27,9 +28,26 @@ from .io import jfif
 from .ops import color
 
 
+# per-mode geometry: MCU pixel size, Y blocks per MCU, slots per MCU
+_MODES = {
+    "444": {"mcu_h": 8, "mcu_w": 8, "ky": 1, "slots": 3},
+    "422": {"mcu_h": 8, "mcu_w": 16, "ky": 2, "slots": 4},
+    "420": {"mcu_h": 16, "mcu_w": 16, "ky": 4, "slots": 6},
+}
+
+
+def slots_per_mcu(subsampling: str) -> int:
+    return _MODES[subsampling]["slots"]
+
+
+def mcu_dims(subsampling: str) -> tuple[int, int]:
+    m = _MODES[subsampling]
+    return m["mcu_h"], m["mcu_w"]
+
+
 def padded_dims_color(h: int, w: int, subsampling: str) -> tuple[int, int]:
-    m = 16 if subsampling == "420" else 8
-    return (-(-h // m) * m, -(-w // m) * m)
+    mh, mw = mcu_dims(subsampling)
+    return (-(-h // mh) * mh, -(-w // mw) * mw)
 
 
 @functools.lru_cache(maxsize=64)
@@ -53,6 +71,17 @@ def _scan_layout(ph: int, pw: int, subsampling: str):
             slots.append((m, 0, 0))
             slots.append((ny + m, 1, 1))
             slots.append((ny + nc + m, 1, 2))
+    elif subsampling == "422":
+        nbh_c, nbw_c = nbh_y, nbw_y // 2
+        nc = nbh_c * nbw_c
+        slots = []
+        for my in range(nbh_y):
+            for mx in range(nbw_c):
+                for dx in (0, 1):
+                    slots.append((my * nbw_y + 2 * mx + dx, 0, 0))
+                cidx = my * nbw_c + mx
+                slots.append((ny + cidx, 1, 1))
+                slots.append((ny + nc + cidx, 1, 2))
     elif subsampling == "420":
         nbh_c, nbw_c = nbh_y // 2, nbw_y // 2
         nc = nbh_c * nbw_c
@@ -118,6 +147,9 @@ def _component_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
     if cfg.subsampling == "420":
         cb = color.subsample_420(cb)
         cr = color.subsample_420(cr)
+    elif cfg.subsampling == "422":
+        cb = color.subsample_422(cb)
+        cr = color.subsample_422(cr)
 
     def component_levels(chan, qt):
         # Tiled block-diagonal MXU transform (same fast path as grayscale);
@@ -157,14 +189,16 @@ def _color_levels(img, cfg: EncodeConfig, basis, qt_luma, qt_chroma):
 def _y_scan_relayout(zy, nbh: int, nbw: int, subsampling: str):
     """Y raster blocks -> scan emission order. For 4:2:0 the scan visits
     2x2 Y blocks per MCU (T.81 A.2.3) — a pure reshape/transpose, NOT a
-    gather; 4:4:4 scan order IS raster order."""
+    gather; 4:2:2 visits horizontal pairs (already raster order), and
+    4:4:4 scan order IS raster order. Returns (y_scan, Y blocks/MCU)."""
+    ky = _MODES[subsampling]["ky"]
     if subsampling != "420":
-        return zy, 1
+        return zy, ky
     return (
         zy.reshape(nbh // 2, 2, nbw // 2, 2, 64)
         .transpose(0, 2, 1, 3, 4)
         .reshape(-1, 64),
-        4,
+        ky,
     )
 
 
@@ -204,6 +238,8 @@ def _color_block_words(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
     if ky == 4:  # 4:2:0 — fold the 2x2 Y blocks of each MCU
         w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)  # y01, y23
         w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)  # y0123 [4cap, nmcu]
+    elif ky == 2:  # 4:2:2 — horizontal Y pair
+        w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
     w_c, b_c = treepack.merge_adjacent_t(w_c, b_c)  # cb||cr [2cap, nmcu]
     w_all, b_all = treepack.merge_two_t(w_y, b_y, w_c, b_c)
     return w_all, b_all, ov_y | ov_c
@@ -270,8 +306,7 @@ def _encode_color_restart_device(
     qtc_np = cfg.chroma_quant.astype(np.float32)
     gather_idx, table_sel, comp_id = _scan_layout(ph, pw, cfg.subsampling)
     nslots = gather_idx.shape[0]
-    slots_per_mcu = 6 if cfg.subsampling == "420" else 3
-    seg_slots = cfg.restart_interval * slots_per_mcu
+    seg_slots = cfg.restart_interval * slots_per_mcu(cfg.subsampling)
     n_seg = -(-nslots // seg_slots)
     n_total = n_seg * seg_slots
     table_pad = np.pad(table_sel, (0, n_total - nslots))
@@ -376,8 +411,7 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
     segment_ids = None
     if config.restart_interval:
         # restart interval counts MCUs; map each block slot to its MCU
-        slots_per_mcu = 6 if config.subsampling == "420" else 3
-        mcu_of_slot = np.arange(zz.shape[0]) // slots_per_mcu
+        mcu_of_slot = np.arange(zz.shape[0]) // slots_per_mcu(config.subsampling)
         segment_ids = mcu_of_slot // config.restart_interval
     segments = entropy_host.encode_scan(
         zz,
@@ -412,7 +446,7 @@ def encode_color_sharded(
     if image.ndim == 2:
         image = np.repeat(image[..., None], 3, axis=-1)
     h, w = image.shape[:2]
-    mcu_rows = 16 if config.subsampling == "420" else 8
+    mcu_rows = mcu_dims(config.subsampling)[0]
     band = mcu_rows * n
     ph = -(-h // band) * band
     pw = padded_dims_color(h, w, config.subsampling)[1]
@@ -442,7 +476,8 @@ def encode_color_sharded(
 
     totals_np = _jax.device_get(totals)
     segments = gather_segments_multihost(streams, totals_np)
-    mcu_per_shard = (ph // n // mcu_rows) * (pw // mcu_rows)
+    mcu_w = mcu_dims(config.subsampling)[1]
+    mcu_per_shard = (ph // n // mcu_rows) * (pw // mcu_w)
     restart_cfg = EncodeConfig(
         quality=config.quality,
         subsampling=config.subsampling,
@@ -471,9 +506,9 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
     ph_local = ph // n
     gather_idx, table_sel, comp_id = _scan_layout(ph_local, pw, cfg.subsampling)
     nslots = gather_idx.shape[0]
-    slots_per_mcu = 6 if cfg.subsampling == "420" else 3
-    mcu_per_shard = nslots // slots_per_mcu
-    seg_slots = restart_subsegments(mcu_per_shard) * slots_per_mcu
+    spm = slots_per_mcu(cfg.subsampling)
+    mcu_per_shard = nslots // spm
+    seg_slots = restart_subsegments(mcu_per_shard) * spm
 
     def local_encode(img_local):
         from .entropy import treepack

@@ -21,7 +21,7 @@ class EncodeConfig:
       quality: IJG quality factor in [1, 100]. 50 = Annex-K base tables,
         the reference's fixed operating point (jpeg_tables.c:3-12).
       subsampling: "gray" (1 component, parity with the reference),
-        "420" or "444" for color.
+        "420", "422" or "444" for color.
       restart_interval: MCUs between RSTn markers. 0 = none (single
         DC-predictor chain over the whole image, reference semantics,
         rle.c:59-70). Multi-chip sharding sets this per shard.
@@ -58,7 +58,7 @@ class EncodeConfig:
             raise ValueError(
                 f"restart_interval must be in [0, 65535], got {self.restart_interval}"
             )
-        if self.subsampling not in ("gray", "420", "444"):
+        if self.subsampling not in ("gray", "420", "422", "444"):
             raise ValueError(f"unknown subsampling {self.subsampling!r}")
         if self.entropy not in ("device", "host"):
             raise ValueError(f"unknown entropy backend {self.entropy!r}")

@@ -92,8 +92,8 @@ def grayscale_headers(width: int, height: int, config: EncodeConfig) -> bytes:
 
 
 def color_headers(width: int, height: int, config: EncodeConfig) -> bytes:
-    """Segments up to SOS for a 3-component YCbCr scan (420 or 444)."""
-    ysamp = (2, 2) if config.subsampling == "420" else (1, 1)
+    """Segments up to SOS for a 3-component YCbCr scan (420/422/444)."""
+    ysamp = {"420": (2, 2), "422": (2, 1)}.get(config.subsampling, (1, 1))
     out = [
         SOI,
         app0(),

@@ -81,6 +81,19 @@ def subsample_420(chan: jnp.ndarray) -> jnp.ndarray:
     return ((s + 2) >> 2).astype(jnp.uint8)
 
 
+def subsample_422(chan: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal-only 2x box averaging for 4:2:2. [H, W] -> [H, W/2]
+    uint8; W must be even. Round to nearest ((a+b+1)>>1). Same native
+    reduce_window lowering rationale as subsample_420."""
+    import jax.lax as lax
+
+    s = lax.reduce_window(
+        chan.astype(jnp.int32), 0, lax.add,
+        window_dimensions=(1, 2), window_strides=(1, 2), padding="VALID",
+    )
+    return ((s + 1) >> 1).astype(jnp.uint8)
+
+
 def level_shift(y: jnp.ndarray) -> jnp.ndarray:
     """uint8 -> int32 centered at zero (reference converter.c:60-90)."""
     return y.astype(jnp.int32) - 128

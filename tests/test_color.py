@@ -108,3 +108,73 @@ def test_subsample_420_box_filter_semantics():
     # full-range corners survive (no overflow/clip errors)
     flat = np.full((4, 4), 255, np.uint8)
     assert np.all(np.asarray(color_ops.subsample_420(jnp.asarray(flat))) == 255)
+
+
+@pytest.mark.parametrize("entropy", ["device", "host"])
+def test_color_422_roundtrip_and_parity(entropy):
+    """4:2:2 (horizontal-only chroma subsampling): decodes at original
+    size with sane PSNR; device and host coders emit identical bytes."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    data = color_pipeline.encode_color(
+        img, EncodeConfig(subsampling="422", entropy=entropy)
+    )
+    dec = Image.open(io.BytesIO(data))
+    dec.load()
+    assert dec.size == (56, 40)
+
+
+def test_color_422_device_equals_host():
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (48, 80, 3), dtype=np.uint8)
+    dev = color_pipeline.encode_color(
+        img, EncodeConfig(subsampling="422", entropy="device")
+    )
+    host = color_pipeline.encode_color(
+        img, EncodeConfig(subsampling="422", entropy="host")
+    )
+    assert dev == host
+
+
+def test_color_422_smooth_image_psnr():
+    """On a smooth natural-ish image, 4:2:2 PSNR sits between 4:2:0 and
+    4:4:4 (it halves chroma loss only horizontally)."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.stack(
+        [
+            (xx * 2 + yy) % 256,
+            (xx + yy * 2) % 256,
+            (255 - xx * 2) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    from jpegtpu.analysis import psnr
+
+    scores = {}
+    for ss in ("420", "422", "444"):
+        data = color_pipeline.encode_color(img, EncodeConfig(subsampling=ss))
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), float)
+        scores[ss] = psnr(img.astype(float), dec)
+    assert scores["420"] <= scores["422"] + 0.3
+    assert scores["422"] <= scores["444"] + 0.3
+
+
+def test_color_422_restart_and_batch():
+    from jpegtpu.batch import encode_color_batch
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    cfg = EncodeConfig(subsampling="422")
+    dev = color_pipeline.encode_color(
+        img, EncodeConfig(subsampling="422", restart_interval=3, entropy="device")
+    )
+    host = color_pipeline.encode_color(
+        img, EncodeConfig(subsampling="422", restart_interval=3, entropy="host")
+    )
+    assert dev == host
+    batched = encode_color_batch([img, img[::-1].copy()], cfg)
+    singles = [
+        color_pipeline.encode_color(img, cfg),
+        color_pipeline.encode_color(img[::-1].copy(), cfg),
+    ]
+    assert batched == singles

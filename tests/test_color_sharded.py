@@ -19,17 +19,17 @@ def _rgb(h, w, seed=0):
     return np.clip(base + rng.normal(0, 9, (h, w, 3)), 0, 255).astype(np.uint8)
 
 
-@pytest.mark.parametrize("subsampling,n", [("420", 4), ("444", 8)])
+@pytest.mark.parametrize("subsampling,n", [("420", 4), ("422", 4), ("444", 8)])
 def test_sharded_color_equals_host_restart_stream(subsampling, n):
     """For shard-aligned dims the sharded color encode must be
     byte-identical to the host coder at restart_interval = MCUs/shard."""
-    mcu = 16 if subsampling == "420" else 8
-    h, w = mcu * n * 2, mcu * 4
+    mcu_h, mcu_w = color_pipeline.mcu_dims(subsampling)
+    h, w = mcu_h * n * 2, mcu_w * 4
     img = _rgb(h, w)
     got = color_pipeline.encode_color_sharded(
         img, EncodeConfig(subsampling=subsampling), mesh=make_mesh(n)
     )
-    mcu_per_shard = (h // n // mcu) * (w // mcu)
+    mcu_per_shard = (h // n // mcu_h) * (w // mcu_w)
     want = color_pipeline.encode_color(
         img,
         EncodeConfig(
