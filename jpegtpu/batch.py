@@ -127,46 +127,10 @@ def _batch_color_fn(
                 jnp.asarray(qtc_np),
             )
         )(imgs)
-        zy = zy.astype(jnp.int32)
-        zcb = zcb.astype(jnp.int32)
-        zcr = zcr.astype(jnp.int32)
-        ny = zy.shape[1]
         nmcu = zcb.shape[1]
-        ky = cp._MODES[cfg.subsampling]["ky"]
-        if cfg.subsampling == "420":
-            y_scan = (
-                zy.reshape(b, nbh // 2, 2, nbw // 2, 2, 64)
-                .transpose(0, 1, 3, 2, 4, 5)
-                .reshape(b * ny, 64)
-            )
-        else:  # 422/444: Y scan order IS raster order
-            y_scan = zy.reshape(b * ny, 64)
-        c_scan = jnp.stack([zcb, zcr], axis=2).reshape(b * 2 * nmcu, 64)
-        dcd_y = entropy_device.dc_differences(y_scan[:, 0], ny)
-        dcd_c = jnp.stack(
-            [
-                entropy_device.dc_differences(
-                    zcb[:, :, 0].reshape(-1), nmcu
-                ).reshape(b, nmcu),
-                entropy_device.dc_differences(
-                    zcr[:, :, 0].reshape(-1), nmcu
-                ).reshape(b, nmcu),
-            ],
-            axis=2,
-        ).reshape(-1)
-        w_y, b_y, ov_y = entropy_device._per_block_words(y_scan, 0, dcd_y, cap)
-        w_c, b_c, ov_c = entropy_device._per_block_words(c_scan, 1, dcd_c, cap)
-        # Fold each MCU's blocks into one stream by explicit tree levels
-        # (bits identical to slot-by-slot packing; see
-        # color_pipeline._color_block_words). Column pairs never cross an
-        # image boundary because every per-image count is even.
-        if ky == 4:
-            w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
-            w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
-        elif ky == 2:
-            w_y, b_y = treepack.merge_adjacent_t(w_y, b_y)
-        w_c, b_c = treepack.merge_adjacent_t(w_c, b_c)
-        w_all, b_all = treepack.merge_two_t(w_y, b_y, w_c, b_c)
+        w_all, b_all, overflow = cp._color_block_words_b(
+            zy, zcb, zcr, nbh, nbw, cfg.subsampling, cap
+        )
         mcu_cap = w_all.shape[0]
         streams, totals = treepack.concat_segments_tree(
             w_all.reshape(mcu_cap, b, nmcu), b_all.reshape(b, nmcu),
@@ -175,7 +139,7 @@ def _batch_color_fn(
         streams, totals = treepack.apply_tail_padding_segments(
             streams, totals, cfg.pad_ones
         )
-        return streams, totals, ov_y | ov_c
+        return streams, totals, overflow
 
     if mesh is None:
         return jax.jit(encode_local)

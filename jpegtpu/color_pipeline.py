@@ -202,37 +202,162 @@ def _y_scan_relayout(zy, nbh: int, nbw: int, subsampling: str):
     )
 
 
-def _color_block_words(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
-                       cap: int):
-    """Per-MCU packed streams for the interleaved color scan, ZERO
-    gathers AND zero small-minor-axis tensors: Y relayouts to scan order
-    (reshape/transpose), Cb/Cr alternate via a stack, each component
-    class runs one fused Pallas launch with its own table, and the scan
-    interleave happens by MERGING inside each MCU — bitstream concat is
-    associative, so three explicit tree levels in the lane-friendly
-    transposed [C, n_mcu] layout (y0‖y1, y2‖y3, then ‖, then ‖chroma)
-    produce one stream per MCU with bits identical to slot-by-slot
-    packing. Per-component DC chains ride the component-major layouts.
+def _y_slot_major(zy, nbh: int, nbw: int, subsampling: str):
+    """Y raster blocks -> SLOT-MAJOR layout [ky, nmcu, 64]: row s holds
+    every MCU's s-th Y block (scan emission order within the MCU). Pure
+    major-axis reshape/transpose — the 64-lane minor axis never moves.
+    Accepts a leading batch axis ([b, ny, 64] -> [ky, b*nmcu, 64])."""
+    ky = _MODES[subsampling]["ky"]
+    lead = zy.shape[:-2]
+    if subsampling == "420":
+        z = zy.reshape(*lead, nbh // 2, 2, nbw // 2, 2, 64)
+        nd = len(lead)
+        z = jnp.moveaxis(jnp.moveaxis(z, nd + 1, 0), nd + 3, 1)
+        return z.reshape(2, 2, -1, 64).reshape(4, -1, 64)
+    if subsampling == "422":
+        z = zy.reshape(*lead, nbh, nbw // 2, 2, 64)
+        return jnp.moveaxis(z, len(lead) + 2, 0).reshape(2, -1, 64)
+    return zy.reshape(1, -1, 64)
 
-    Returns (words_t [mcu_cap, nmcu], bits [nmcu], overflow) where
-    mcu_cap = cap * slots_per_mcu — MCU streams in scan order, ready for
-    concat_blocks_tree / concat_segments_tree."""
-    from .entropy import treepack
 
-    y_scan, ky = _y_scan_relayout(zy.astype(jnp.int32), nbh, nbw, subsampling)
-    zcb = zcb.astype(jnp.int32)
-    zcr = zcr.astype(jnp.int32)
-    c_scan = jnp.stack([zcb, zcr], axis=1).reshape(-1, 64)  # cb0 cr0 cb1 ...
-    dcd_y = entropy_device.dc_differences(y_scan[:, 0], 0)
-    dcd_c = jnp.stack(
+def _dc_diff_slot_major(d_sm, period_mcu: int):
+    """DC differences for ONE scan-order chain over a slot-major layout
+    [S, M]: within an MCU the chain steps down the slot rows, across MCUs
+    it wraps from the last slot to the next MCU's slot 0 (T.81 F.1.1.5.1
+    per-component predictor). Resets at every period_mcu-th MCU (image
+    starts of a folded batch; 0 = single chain)."""
+    last_prev = jnp.pad(d_sm[-1:, :-1], ((0, 0), (1, 0)))
+    if period_mcu:
+        keep = (jnp.arange(d_sm.shape[1]) % period_mcu) != 0
+        last_prev = last_prev * keep[None, :]
+    prev = jnp.concatenate([last_prev, d_sm[:-1]], axis=0)
+    return d_sm - prev
+
+
+def _dc_diff_rows(d, period_mcu: int):
+    """DC differences with an INDEPENDENT chain per row (Cb and Cr are
+    separate components sharing the chroma table), along the MCU axis."""
+    prev = jnp.pad(d[:, :-1], ((0, 0), (1, 0)))
+    if period_mcu:
+        keep = (jnp.arange(d.shape[1]) % period_mcu) != 0
+        prev = prev * keep[None, :]
+    return d - prev
+
+
+def _mcu_streams_fused(y_sm, c_sm, dcd_y, dcd_c, cap: int, interp: bool):
+    """Slot-major component blocks -> one packed stream per MCU, all in
+    Pallas: one fused symbolize+pack launch per Huffman table class in
+    RAW kernel tiling, then merge_streams_pallas folds each MCU's
+    ky + 2 block streams in registers. The only minor-axis relayout in
+    the whole stage is the final [mcu_cap, M] reshape.
+
+    y_sm [ky, M, 64], c_sm [2, M, 64], dcd_* matching; M = MCU count
+    (batch may be folded in). Returns ([mcu_cap, M], [M], overflow)."""
+    from .entropy import pallas_pack
+
+    ky, m = y_sm.shape[:2]
+    step = pallas_pack.BLOCKS_PER_STEP
+    mp = -(-m // step) * step
+    if mp != m:
+        pad = ((0, 0), (0, mp - m), (0, 0))
+        y_sm = jnp.pad(y_sm, pad)
+        c_sm = jnp.pad(c_sm, pad)
+        dcd_y = jnp.pad(dcd_y, ((0, 0), (0, mp - m)))
+        dcd_c = jnp.pad(dcd_c, ((0, 0), (0, mp - m)))
+    g = mp // step
+    w_y, b_y, ov_y = pallas_pack.encode_blocks_pallas(
+        y_sm.reshape(ky * mp, 64), dcd_y.reshape(-1), cap=cap, table=0,
+        interpret=interp, raw=True,
+    )
+    w_c, b_c, ov_c = pallas_pack.encode_blocks_pallas(
+        c_sm.reshape(2 * mp, 64), dcd_c.reshape(-1), cap=cap, table=1,
+        interpret=interp, raw=True,
+    )
+    s, l = pallas_pack.SUBLANES, pallas_pack.LANES
+    w_all = jnp.concatenate(
         [
-            entropy_device.dc_differences(zcb[:, 0], 0),
-            entropy_device.dc_differences(zcr[:, 0], 0),
+            w_y.reshape(ky, g, cap, s, l).transpose(1, 0, 2, 3, 4),
+            w_c.reshape(2, g, cap, s, l).transpose(1, 0, 2, 3, 4),
         ],
         axis=1,
+    )
+    b_all = jnp.concatenate(
+        [
+            b_y.reshape(ky, g, s, l).transpose(1, 0, 2, 3),
+            b_c.reshape(2, g, s, l).transpose(1, 0, 2, 3),
+        ],
+        axis=1,
+    )
+    merged, bits = pallas_pack.merge_streams_pallas(w_all, b_all, interpret=interp)
+    mcu_cap = (ky + 2) * cap
+    w_out = merged.transpose(1, 0, 2, 3).reshape(mcu_cap, mp)[:, :m]
+    bits_out = bits.reshape(-1)[:m]
+    return w_out, bits_out, ov_y | ov_c
+
+
+def _color_block_words(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
+                       cap: int):
+    """Per-MCU packed streams for the interleaved color scan (single
+    image). Returns (words_t [mcu_cap, nmcu], bits [nmcu], overflow)
+    where mcu_cap = cap * slots_per_mcu — MCU streams in scan order,
+    ready for concat_blocks_tree / concat_segments_tree."""
+    return _color_block_words_b(
+        zy[None], zcb[None], zcr[None], nbh, nbw, subsampling, cap
+    )
+
+
+def _color_block_words_b(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
+                         cap: int):
+    """Batched per-MCU packed streams: zy [b, ny, 64], zcb/zcr
+    [b, nc, 64] -> (words_t [mcu_cap, b*nmcu], bits [b*nmcu], overflow),
+    per-image DC chains (each image of the fold restarts its predictors).
+
+    Fast path (cap <= 16): slot-major relayout + two fused Pallas encode
+    launches + the register-resident MCU merge kernel — zero gathers,
+    zero XLA merge levels (those measured ~8 ms/12 MPix from strided
+    lane slicing; see pallas_pack.merge_streams_pallas). The worst-case
+    capacity retry (cap > 16) takes the staged XLA pack + merge tree."""
+    from .entropy import treepack
+
+    nmcu = zcb.shape[1]
+    ny = zy.shape[1]
+    zy = zy.astype(jnp.int32)
+    zcb = zcb.astype(jnp.int32)
+    zcr = zcr.astype(jnp.int32)
+    ky = _MODES[subsampling]["ky"]
+    if cap <= 16:
+        y_sm = _y_slot_major(zy, nbh, nbw, subsampling)
+        c_sm = jnp.stack([zcb, zcr]).reshape(2, -1, 64)
+        dcd_y = _dc_diff_slot_major(y_sm[:, :, 0], nmcu)
+        dcd_c = _dc_diff_rows(c_sm[:, :, 0], nmcu)
+        interp = jax.default_backend() == "cpu"
+        return _mcu_streams_fused(y_sm, c_sm, dcd_y, dcd_c, cap, interp)
+
+    # Staged fallback: scan-order relayout, XLA symbolize + block
+    # reduction, explicit MCU merge tree levels (bitstream concat is
+    # associative, so y0‖y1, y2‖y3, ‖, ‖chroma equals slot-by-slot).
+    b = zy.shape[0]
+    if subsampling == "420":
+        y_scan = (
+            zy.reshape(b, nbh // 2, 2, nbw // 2, 2, 64)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b * ny, 64)
+        )
+    else:  # 422/444: Y scan order IS raster order
+        y_scan = zy.reshape(b * ny, 64)
+    c_scan = jnp.stack([zcb, zcr], axis=2).reshape(b * 2 * nmcu, 64)
+    dcd_y = entropy_device.dc_differences(y_scan[:, 0], ny)
+    dcd_c = jnp.stack(
+        [
+            entropy_device.dc_differences(
+                zcb[:, :, 0].reshape(-1), nmcu
+            ).reshape(b, nmcu),
+            entropy_device.dc_differences(
+                zcr[:, :, 0].reshape(-1), nmcu
+            ).reshape(b, nmcu),
+        ],
+        axis=2,
     ).reshape(-1)
-    # _per_block_words picks the fused Pallas kernel for cap <= 16 and
-    # the staged XLA pack for the worst-case capacity retry.
     w_y, b_y, ov_y = entropy_device._per_block_words(y_scan, 0, dcd_y, cap)
     w_c, b_c, ov_c = entropy_device._per_block_words(c_scan, 1, dcd_c, cap)
     if ky == 4:  # 4:2:0 — fold the 2x2 Y blocks of each MCU

@@ -257,12 +257,17 @@ def _kernel_tables(table: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "table", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cap", "table", "interpret", "raw"))
 def encode_blocks_pallas(zz, dc_diff, cap: int = 8, table: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False, raw: bool = False):
     """Fused symbolize+pack: [nb, 64] zigzag levels (+ [nb] DC diffs) ->
-    (words [cap, nb] u32 transposed, bits [nb] i32, overflow). Grayscale /
-    single-table scans only (static `table`); color uses the XLA path."""
+    (words [cap, nb] u32 transposed, bits [nb] i32, overflow) for a
+    single static Huffman `table` class.
+
+    raw=True skips the final minor-axis relayout and returns the kernel's
+    native tiling (words [G, cap, 8, 128], bits [G, 8, 128], overflow) —
+    the layout merge_streams_pallas consumes, so multi-launch callers
+    (the color MCU merge) pay zero relayouts between the two kernels."""
     nb = zz.shape[0]
     g = -(-nb // BLOCKS_PER_STEP)
     npad = g * BLOCKS_PER_STEP
@@ -296,10 +301,88 @@ def encode_blocks_pallas(zz, dc_diff, cap: int = 8, table: int = 0,
         interpret=interpret,
     )(zzt, dct_)
 
+    if raw:
+        bits_raw = bits[:, 0]
+        overflow = jnp.any(bits_raw > cap * 32)
+        return out, bits_raw, overflow
     words_out = out.transpose(1, 0, 2, 3).reshape(cap, npad)[:, :nb]
     bits_out = bits.reshape(-1)[:nb]
     overflow = jnp.any(bits_out > cap * 32)
     return words_out, bits_out, overflow
+
+
+def _merge_kernel(w_ref, b_ref, out_ref, bits_ref, *, e: int, cap_in: int):
+    """Merge `e` packed streams per lane into one stream.
+
+    w_ref [e, cap_in, 8, 128] u32 (MSB-aligned streams; words past each
+    stream's bit count are zero), b_ref [e, 8, 128] i32,
+    out_ref [e * cap_in, 8, 128] u32, bits_ref [1, 8, 128] i32.
+
+    The bitstream concat is done entirely in registers: stream s shifts
+    right by the running bit offset (one funnel shift across its cap_in+1
+    word window) and each shifted word one-hot deposits into the output
+    frame. The offset after s streams is <= 32 * cap_in * s, so the
+    deposit cascade for (s, j) only spans frame words [j, cap_in*s + j] —
+    the unroll is O(e^2 * cap_in^2 / 2), ~1.1k selects for the 4:2:0 MCU
+    merge (e=6, cap_in=8). Output cannot overflow: total bits ==
+    sum of inputs <= 32 * e * cap_in by construction."""
+    cap_out = e * cap_in
+    shp = (SUBLANES, LANES)
+    zero_u = jnp.zeros(shp, jnp.uint32)
+    frame = [zero_u] * cap_out
+    off = jnp.zeros(shp, jnp.int32)
+    for s in range(e):
+        r = (off & 31).astype(jnp.uint32)
+        base = off >> 5
+        t = jnp.clip(32 - (off & 31), 0, 31).astype(jnp.uint32)
+        rz = r == 0
+        words_s = [w_ref[s, j] for j in range(cap_in)]
+        for j in range(cap_in + 1):
+            cur = words_s[j] if j < cap_in else zero_u
+            prv = words_s[j - 1] if j >= 1 else zero_u
+            v = jnp.where(rz, cur, (cur >> r) | (prv << t))
+            hi_pos = min(cap_in * s + j, cap_out - 1)
+            for p in range(j, hi_pos + 1):
+                frame[p] = frame[p] | jnp.where(base == p - j, v, 0)
+        off = off + b_ref[s]
+    for j in range(cap_out):
+        out_ref[j] = frame[j]
+    bits_ref[0] = off
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_streams_pallas(w_raw, b_raw, interpret: bool = False):
+    """Concatenate E per-block streams per lane: ([G, E, cap, 8, 128] u32,
+    [G, E, 8, 128] i32) -> (merged [G, E*cap, 8, 128], bits [G, 8, 128]).
+
+    This replaces log-depth XLA merge levels (strided lane slicing +
+    barrel shifts over [C, N] arrays — measured ~8 ms for the 12 MPix
+    4:2:0 MCU fold) with one register-resident pass, the same move the
+    reference's DSP makes by keeping its BitWriter accumulator in scalar
+    registers (dsp huffman.c:113-156)."""
+    g, e, cap_in = w_raw.shape[:3]
+    out, bits = pl.pallas_call(
+        functools.partial(_merge_kernel, e=e, cap_in=cap_in),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((None, e, cap_in, SUBLANES, LANES),
+                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, e, SUBLANES, LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, e * cap_in, SUBLANES, LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, SUBLANES, LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, e * cap_in, SUBLANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((g, 1, SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(w_raw.astype(jnp.uint32), b_raw.astype(jnp.int32))
+    return out, bits[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "interpret"))

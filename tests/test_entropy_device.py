@@ -97,3 +97,62 @@ def test_golden_stream_parity(golden):
     zz = golden["zigzag"].astype(np.int32)
     got = _device_stream(zz, pad_ones=False)
     assert got == golden["stream"].tobytes()
+
+
+class TestMergeStreamsPallas:
+    """Direct unit test of the register-resident stream merge kernel."""
+
+    def test_matches_numpy_concat(self):
+        from jpegtpu.entropy import pallas_pack
+
+        rng = np.random.default_rng(7)
+        g, e, cap = 2, 6, 4
+        lanes = pallas_pack.SUBLANES * pallas_pack.LANES
+        n = g * lanes
+        # random streams: bit length 0..cap*32, MSB-aligned, zero beyond
+        bits = rng.integers(0, cap * 32 + 1, size=(n, e)).astype(np.int32)
+        words = rng.integers(0, 1 << 32, size=(n, e, cap), dtype=np.uint64)
+        words = words.astype(np.uint32)
+        for i in range(n):
+            for s in range(e):
+                b = int(bits[i, s])
+                for j in range(cap):
+                    lo = max(0, min(32, b - 32 * j))
+                    mask = (0xFFFFFFFF << (32 - lo)) & 0xFFFFFFFF if lo else 0
+                    words[i, s, j] &= np.uint32(mask)
+
+        def ref_merge(ws, bs):
+            big = 0
+            tot = 0
+            for s in range(e):
+                b = int(bs[s])
+                val = 0
+                for j in range(cap):
+                    val = (val << 32) | int(ws[s, j])
+                val >>= cap * 32 - b  # right-align the b valid bits
+                big = (big << b) | val
+                tot += b
+            out = np.zeros(e * cap, np.uint32)
+            big <<= e * cap * 32 - tot  # MSB-align
+            for j in range(e * cap - 1, -1, -1):
+                out[j] = big & 0xFFFFFFFF
+                big >>= 32
+            return out, tot
+
+        w_raw = jnp.asarray(
+            words.reshape(g, pallas_pack.SUBLANES, pallas_pack.LANES, e, cap)
+            .transpose(0, 3, 4, 1, 2)
+        )
+        b_raw = jnp.asarray(
+            bits.reshape(g, pallas_pack.SUBLANES, pallas_pack.LANES, e)
+            .transpose(0, 3, 1, 2)
+        )
+        merged, tot = pallas_pack.merge_streams_pallas(
+            w_raw, b_raw, interpret=True
+        )
+        merged = np.asarray(merged).transpose(0, 2, 3, 1).reshape(n, e * cap)
+        tot = np.asarray(tot).reshape(n)
+        for i in range(0, n, 37):
+            exp_w, exp_b = ref_merge(words[i], bits[i])
+            assert tot[i] == exp_b
+            np.testing.assert_array_equal(merged[i], exp_w, err_msg=f"lane {i}")
