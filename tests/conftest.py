@@ -9,6 +9,22 @@ updates the jax config directly, before any backend initializes.
 """
 import os
 
+# XLA:CPU's JIT creates ~2k memory mappings PER COMPILED PROGRAM for the
+# big interpret-mode Pallas graphs; a full-suite process crosses the
+# kernel's vm.max_map_count (65530 default) after ~25 such programs and
+# the next mmap failure surfaces as a SIGSEGV inside
+# backend_compile/cache-deserialize (measured: 42k maps after 42 color
+# encodes; crash always ~80 tests in, never reproducible solo). Raise
+# the limit when we can (container runs as root); xdist workers
+# (pytest.ini) additionally split the load across processes.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1 << 20:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write(str(1 << 20))
+except (OSError, ValueError):
+    pass
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
