@@ -387,12 +387,133 @@ def _encode_color_device(
     return fn
 
 
+def _slot_planes(yplane, subsampling: str):
+    """Y plane [PH, PW] -> [ky, mh, mw] slot planes: plane s is the s-th
+    Y block of every MCU assembled as one contiguous image, so each slot
+    runs the SAME grid-natural transform kernel as the chroma planes
+    (lanes = MCU columns) and the per-MCU merge needs no interleave
+    gather. A pixel-domain relayout of uint8 with 8-lane granules — far
+    cheaper than permuting the 64-wide coefficient tensors."""
+    h, w = yplane.shape
+    if subsampling == "420":
+        x = yplane.reshape(h // 16, 2, 8, w // 16, 2, 8)
+        x = x.transpose(1, 4, 0, 2, 3, 5)
+        return x.reshape(4, h // 2, w // 2)
+    if subsampling == "422":
+        x = yplane.reshape(h // 8, 8, w // 16, 2, 8)
+        x = x.transpose(3, 0, 1, 2, 4)
+        return x.reshape(2, h, w // 2)
+    return yplane[None]
+
+
+def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool):
+    """All-Pallas color body, NATURAL layouts end to end: the full-res Y
+    plane and the (stacked) chroma planes go straight through the fused
+    transform kernel, the pre-tiled fused symbolize+pack, and the
+    natural-layout MCU interleave merge (static lane-realign matmuls in
+    pallas_pack.merge_mcu_natural_pallas) — no slot-plane pixel relayout
+    and no XLA stack/transpose staging. The only XLA data movement left
+    is the per-block DC scan-order round trip (tiny [nb] arrays)."""
+    from .entropy import pallas_concat, pallas_pack, treepack
+    from .ops import pallas_transform as pt
+
+    y, cb, cr = color.rgb_planar_to_ycbcr(img)
+    if cfg.subsampling == "420":
+        cb = color.subsample_420(cb)
+        cr = color.subsample_420(cr)
+    elif cfg.subsampling == "422":
+        cb = color.subsample_422(cb)
+        cr = color.subsample_422(cr)
+    fy = 2 if cfg.subsampling == "420" else 1
+    fx = 1 if cfg.subsampling == "444" else 2
+    mh, mw = cb.shape
+    kh, kw = pt.padded_dims_kernel(mh, mw)
+    # Y is padded to exactly (fy*kh, fx*kw) so the Y grid is an fy x fx
+    # refinement of the chroma grid (what the merge kernel's BlockSpecs
+    # assume).
+    yh, yw = y.shape
+    if (kh, kw) != (mh, mw):
+        cb = jnp.pad(cb, ((0, kh - mh), (0, kw - mw)))
+        cr = jnp.pad(cr, ((0, kh - mh), (0, kw - mw)))
+    if (fy * kh, fx * kw) != (yh, yw):
+        y = jnp.pad(y, ((0, fy * kh - yh), (0, fx * kw - yw)))
+    ncg = kw // pt.TILE_W
+    nmch, nmcw = mh // 8, mw // 8
+    interp = jax.default_backend() == "cpu"
+    qtl = jnp.asarray(cfg.luma_quant.astype(np.float32))
+    qtc = jnp.asarray(cfg.chroma_quant.astype(np.float32))
+    raw_y = pt.transform_plane_raw(y, qtl, cfg.bitexact, interpret=interp)
+    raw_c = pt.transform_plane_raw(
+        jnp.concatenate([cb, cr]), qtc, cfg.bitexact, interpret=interp
+    )
+    g = raw_c.shape[0] // 2
+
+    # DC chains: Y follows the interleaved scan order (MCU raster, fy x fx
+    # slots within each MCU) — a reshape/transpose round trip on the tiny
+    # [nb] DC vectors, not on coefficient data.
+    nbh_y, nbw_y = fy * nmch, fx * nmcw
+    dc_y = pt.raw_to_scan(raw_y[:, :1], nbh_y, nbw_y, fx * ncg)[0]
+    d2 = dc_y.reshape(nmch, fy, nmcw, fx).transpose(0, 2, 1, 3).reshape(-1)
+    dcd_mcu = entropy_device.dc_differences(d2, 0)
+    dcd_nat = (
+        dcd_mcu.reshape(nmch, nmcw, fy, fx)
+        .transpose(0, 2, 1, 3)
+        .reshape(nbh_y * nbw_y)
+    )
+    dcd_y_raw = pt.scan_to_raw(dcd_nat, nbh_y, nbw_y, fx * ncg)
+    raw_c5 = raw_c.reshape(2, g, 64, pt.SUBLANES, pt.LANES)
+    dc_c = jnp.stack(
+        [
+            pt.raw_to_scan(raw_c5[i, :, :1], nmch, nmcw, ncg)[0]
+            for i in range(2)
+        ]
+    )
+    dcd_c = _dc_diff_rows(dc_c, 0)
+    dcd_c_raw = jnp.stack(
+        [pt.scan_to_raw(dcd_c[i], nmch, nmcw, ncg) for i in range(2)]
+    ).reshape(2 * g, pt.SUBLANES, pt.LANES)
+    w_y, b_y, _ = pallas_pack.encode_blocks_pallas(
+        raw_y, dcd_y_raw, cap=cap, table=0, interpret=interp, raw=True
+    )
+    w_c, b_c, _ = pallas_pack.encode_blocks_pallas(
+        raw_c, dcd_c_raw, cap=cap, table=1, interpret=interp, raw=True
+    )
+    # Pad-lane blocks are zero pixels with dcd forced 0 -> tiny streams,
+    # so the raw bits are safe for the overflow check without masking.
+    overflow = jnp.any(b_y > cap * 32) | jnp.any(b_c > cap * 32)
+    merged, mbits = pallas_pack.merge_mcu_natural_pallas(
+        w_y, b_y,
+        w_c.reshape(2, g, cap, pt.SUBLANES, pt.LANES),
+        b_c.reshape(2, g, pt.SUBLANES, pt.LANES),
+        nrg_c=kh // pt.TILE_H, ncg_c=ncg,
+        subsampling=cfg.subsampling, interpret=interp,
+    )
+    mcap = merged.shape[1]
+    if pallas_concat.fits_vmem(nmch, nmcw, mcap, ncg):
+        words, total_bits = pallas_concat.concat_raw_pallas(
+            merged, mbits, nmch, nmcw, ncg, interpret=interp
+        )
+    else:
+        w_t = pt.raw_to_scan(merged, nmch, nmcw, ncg)
+        bits = pt.raw_to_scan(mbits[:, None], nmch, nmcw, ncg)[0]
+        words, total_bits = treepack.concat_blocks_tree(w_t, bits)
+    words, total_bits = treepack._apply_tail_padding(
+        words, total_bits, cfg.pad_ones
+    )
+    if not stuff:
+        return words, total_bits, overflow
+    out, nbytes = entropy_device.stuff_bytes_device(words, total_bits)
+    return out, nbytes, overflow
+
+
 def color_encode_body(img, cfg: EncodeConfig, cap_words_per_block: int,
                       stuff: bool):
     """Traceable full color encode body (gather-free fused path; compose
     under jit freely). img: padded PLANAR RGB [3, PH, PW]."""
     from .entropy import treepack
 
+    if cfg.dct_dtype != "int32" and cap_words_per_block <= 16:
+        return _color_encode_body_raw(img, cfg, cap_words_per_block, stuff)
     ph, pw = img.shape[1:]
     nbh, nbw = ph // 8, pw // 8
     basis_np = cfg.dct_basis()

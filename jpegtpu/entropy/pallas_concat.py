@@ -1,0 +1,374 @@
+"""Pallas across-block bitstream concatenation: MXU one-hot deposit +
+sequential streaming merge, replacing the XLA shift-or tree.
+
+The XLA merge tree (treepack.concat_blocks_tree) is the framework's last
+big inefficiency: every level re-materializes the full word array and the
+barrel word-shift runs log2(capacity) pad/select passes per level —
+measured ~6.5 ms for a 12 MPix image (tools/concat_micro.py), 400x the
+stream's memory footprint. This module reformulates the whole concat as
+TWO passes over the data:
+
+1. `merge_sublanes_pallas` (Kernel A) — merge the 128 per-block streams
+   of every (group, sublane) row into ONE segment, in one kernel step.
+   Placement of each lane's word window at its (prefix-summed) word
+   offset is a ONE-HOT MATMUL: out[p] = sum_l w'[j, l] * A[l, p] with
+   A[l, p] = (base_l == p). The sum is exact because every bit of the
+   output is written by exactly one code (disjoint-bit OR == add), and
+   each 32-bit word is split into four 8-bit planes so bf16 MXU
+   accumulation stays integer-exact (chunks < 2^8 <= bf16's 2^8 exact
+   range). This is the TPU answer to the DSP's serial BitWriter
+   (dsp huffman.c:113-156): the systolic array does the depositing.
+
+2. `stream_concat_pallas` (Kernel B) — concatenate the scan-ordered
+   segments by walking them with a SEQUENTIAL grid: each step funnels
+   its segments by the bit residue, word-rolls them to the absolute lane
+   offset (log-select over static rolls), and ORs them into a
+   VMEM-RESIDENT output block (constant index_map = one writeback at the
+   end). Per-segment bit offsets arrive via scalar prefetch.
+
+Both kernels consume the grid-natural tiling that
+`ops.pallas_transform.transform_plane_raw` / `pallas_pack` emit: block
+(br, bc) at (g = (br>>3)*ncg + (bc>>7), sublane br&7, lane bc&127), so a
+(group, sublane) row is 128 CONSECUTIVE scan blocks and segments order as
+(block row, column group) — pure index arithmetic, no data relayout.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+
+
+def _merge_kernel(w_ref, b_ref, out_ref, *, cap: int):
+    """w_ref [cap, 8, 128] u32 (pre-masked, words past bits are zero),
+    b_ref [8, 128] i32 (pre-masked), out_ref [8, SR, 128] u32 where
+    SR = cap + 1. Lane l of sublane s is scan block 128*? + l; its bits
+    deposit at the intra-segment offset = sum of lanes < l."""
+    sr = cap + 1
+    p_width = sr * LANES
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    ).astype(jnp.float32)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (LANES, p_width), 1)
+    for s in range(SUBLANES):
+        b = b_ref[s : s + 1, :].astype(jnp.int32)  # [1, 128]
+        inc = b
+        for t in range(7):
+            sh = 1 << t
+            inc = inc + jnp.where(
+                lane_i >= sh, pltpu.roll(inc, sh, axis=1), 0
+            )
+        excl = jnp.where(lane_i >= 1, pltpu.roll(inc, 1, axis=1), 0)
+        base = excl >> 5
+        r = jnp.bitwise_and(excl, 31).astype(jnp.uint32)
+        t32 = jnp.clip(32 - (excl & 31), 0, 31).astype(jnp.uint32)
+        rz = r == 0
+        rows = [w_ref[j, s : s + 1, :] for j in range(cap)]
+        zero_row = jnp.zeros((1, LANES), jnp.uint32)
+        wpad = jnp.concatenate(rows + [zero_row], axis=0)  # [SR, 128]
+        prev = jnp.concatenate([zero_row] + rows, axis=0)
+        wp = jnp.where(rz, wpad, (wpad >> r) | (prev << t32))
+        # base onto sublanes via an exact f32 identity matvec (no native
+        # [1,128]->[128,1] transpose needed)
+        base_t = jax.lax.dot_general(
+            eye, base.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [128, 1]
+        a_bf = (iota_p == base_t).astype(jnp.bfloat16)  # [128, P]
+        eu = jnp.zeros((sr, p_width), jnp.uint32)
+        for bidx in range(4):
+            wb = (
+                ((wp >> jnp.uint32(8 * bidx)) & jnp.uint32(0xFF))
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )  # [SR, 128]
+            e_b = jax.lax.dot_general(
+                wb, a_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [SR, P]
+            # Mosaic has no direct f32->u32 cast; round-trip via i32.
+            eu = eu | (
+                e_b.astype(jnp.int32).astype(jnp.uint32)
+                << jnp.uint32(8 * bidx)
+            )
+        c = jnp.zeros((1, p_width), jnp.uint32)
+        for j in range(sr):
+            c = c | pltpu.roll(eu[j : j + 1, :], j, axis=1)
+        out_ref[s] = jnp.concatenate(
+            [c[:, ro * LANES : (ro + 1) * LANES] for ro in range(sr)],
+            axis=0,
+        )
+
+
+def _merge_kernel_skew(w_ref, b_ref, out_ref, *, cap: int):
+    """Same contract as _merge_kernel, for LARGE caps (merged color MCU
+    streams, cap ~= 48). The wide one-hot deposit of _merge_kernel costs
+    O(128 * SR * 128) VREG ops just MATERIALIZING the [128, SR*128]
+    selection mask; here the deposit is reformulated 2D. Lane l's window
+    lands at flat word base_l = 128*q_l + r_l, so:
+
+      1. SKEW: rotate each lane's word window vertically by r_l
+         (7 log-rolls of a [128, 128] tile) -> W'[c, l] holds the word
+         of lane l that lands at word-column c,
+      2. ROW PLACEMENT: out[q, c] = sum_l Aq[l, q] * W'[c, l] as two
+         16-bit-half f32 MXU contractions (Aq = one-hot of q_l, plus a
+         carry variant for lanes whose window wraps past column 128).
+
+    Word-sharing between adjacent streams is bit-disjoint, so the f32
+    sums stay exact (<= 2^16 per half). Cost: ~2k VREG ops + 8 small
+    matmuls per sublane, independent of SR."""
+    sr = cap + 1
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    ).astype(jnp.float32)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, sr), 1)
+    for s in range(SUBLANES):
+        b = b_ref[s : s + 1, :].astype(jnp.int32)  # [1, 128]
+        inc = b
+        for t in range(7):
+            sh = 1 << t
+            inc = inc + jnp.where(
+                lane_i >= sh, pltpu.roll(inc, sh, axis=1), 0
+            )
+        excl = jnp.where(lane_i >= 1, pltpu.roll(inc, 1, axis=1), 0)
+        base = excl >> 5
+        r = jnp.bitwise_and(excl, 31).astype(jnp.uint32)
+        t32 = jnp.clip(32 - (excl & 31), 0, 31).astype(jnp.uint32)
+        rz = r == 0
+        rows = [w_ref[j, s : s + 1, :] for j in range(cap)]
+        zero_row = jnp.zeros((1, LANES), jnp.uint32)
+        wpad = jnp.concatenate(rows + [zero_row], axis=0)  # [SR, 128]
+        prev = jnp.concatenate([zero_row] + rows, axis=0)
+        wp = jnp.where(rz, wpad, (wpad >> r) | (prev << t32))
+        # skew: rotate lane l's column down by r_l = base_l % 128
+        rl = base & 127
+        wsk = jnp.concatenate(
+            [wp, jnp.zeros((LANES - sr, LANES), jnp.uint32)], axis=0
+        )
+        for t in range(7):
+            sh = 1 << t
+            wsk = jnp.where(
+                ((rl >> t) & 1) == 1, pltpu.roll(wsk, sh, axis=0), wsk
+            )
+        # row one-hots from q_l = base_l // 128 (plus wrap carry).
+        # Matvec must be exact: HIGHEST forces true-f32 MXU passes
+        # (default precision is bf16 and silently rounds base > 256).
+        q_t = jax.lax.dot_general(
+            eye, (base >> 7).astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [128(l), 1]
+        aq0 = (q_iota == q_t).astype(jnp.bfloat16)  # [l, SR]
+        aq1 = (q_iota == q_t + 1).astype(jnp.bfloat16)
+        m0 = (c_iota >= rl).astype(jnp.int32)  # [c, l]
+        # 8-bit byte planes: values <= 255 and word-sharing is
+        # bit-disjoint, so bf16 MXU accumulation stays integer-exact.
+        acc = jnp.zeros((sr, LANES), jnp.uint32)
+        for bidx in range(4):
+            bv = (
+                (wsk >> jnp.uint32(8 * bidx)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
+            w0 = (bv * m0).astype(jnp.float32).astype(jnp.bfloat16)
+            w1 = (bv * (1 - m0)).astype(jnp.float32).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                aq0, w0, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                aq1, w1, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [SR(q), 128(c)]
+            acc = acc | (
+                o.astype(jnp.int32).astype(jnp.uint32)
+                << jnp.uint32(8 * bidx)
+            )
+        out_ref[s] = acc
+
+
+_SKEW_MIN_CAP = 24
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_sublanes_pallas(w_raw, b_raw, interpret: bool = False):
+    """([G, cap, 8, 128] u32 pre-masked words, [G, 8, 128] i32 bits) ->
+    segments [G, 8, SR, 128] u32 (MSB-aligned per (group, sublane) row),
+    SR = cap + 1. Segment bit counts are sum(b_raw, axis=-1) — computed
+    by the caller in XLA."""
+    g, cap = w_raw.shape[:2]
+    sr = cap + 1
+    kern = (
+        _merge_kernel_skew if cap >= _SKEW_MIN_CAP else _merge_kernel
+    )
+    return pl.pallas_call(
+        functools.partial(kern, cap=cap),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((None, cap, SUBLANES, LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, LANES),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, SUBLANES, sr, LANES), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (g, SUBLANES, sr, LANES), jnp.uint32
+        ),
+        interpret=interpret,
+    )(w_raw.astype(jnp.uint32), b_raw.astype(jnp.int32))
+
+
+def _flat_roll(x, m: int):
+    """Shift flat word index (row-major [..., R, 128]) DOWN by m < 128
+    words; zeros roll in from the (zero) tail rows via the circular
+    wrap."""
+    a1 = pltpu.roll(x, m, axis=2)
+    a2 = pltpu.roll(a1, 1, axis=1)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+    return jnp.where(lane_i >= m, a1, a2)
+
+
+def _stream_kernel(offs_ref, seg_ref, offv_ref, out_ref, *, sr: int,
+                   ncg: int, out_rows: int):
+    """Sequential grid over block-row groups (rg). seg_ref
+    [ncg, 8, SR, 128] u32, offv_ref [8, ncg, 1, 1] i32 (per-segment
+    absolute bit offsets), offs_ref: same offsets flat [S] i32 (scalar
+    prefetch, for the dynamic-row RMW starts). out_ref [out_rows, 128]
+    u32, VMEM-resident across the whole grid (constant index_map)."""
+    rg = pl.program_id(0)
+
+    @pl.when(rg == 0)
+    def _init():
+        out_ref[...] = jnp.zeros((out_rows, LANES), jnp.uint32)
+
+    w = sr + 2
+    zeros2 = jnp.zeros((ncg, 2, LANES), jnp.uint32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+    for s in range(SUBLANES):
+        x = seg_ref[:, s]  # [ncg, SR, 128]
+        off_v = offv_ref[s]  # [ncg, 1, 1] i32
+        frame = jnp.concatenate([x, zeros2], axis=1)  # [ncg, W, 128]
+        r = jnp.bitwise_and(off_v, 31).astype(jnp.uint32)
+        t32 = jnp.clip(32 - (off_v & 31), 0, 31).astype(jnp.uint32)
+        a1 = pltpu.roll(frame, 1, axis=2)
+        a2 = pltpu.roll(a1, 1, axis=1)
+        prevw = jnp.where(lane_i == 0, a2, a1)
+        frame = jnp.where(
+            off_v & 31 == 0, frame, (frame >> r) | (prevw << t32)
+        )
+        k = (off_v >> 5) & 127
+        for t in range(7):
+            frame = jnp.where(
+                (k >> t) & 1 == 1, _flat_roll(frame, 1 << t), frame
+            )
+        for c in range(ncg):
+            o = offs_ref[(rg * SUBLANES + s) * ncg + c]
+            row = o >> 12
+            cur = out_ref[pl.ds(row, w), :]
+            out_ref[pl.ds(row, w), :] = cur | frame[c]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ncg", "out_rows", "interpret")
+)
+def stream_concat_pallas(segs, offs, ncg: int, out_rows: int,
+                         interpret: bool = False):
+    """segs [G, 8, SR, 128] u32 (G = nrg * ncg grid-natural), offs [S]
+    i32 absolute bit offsets in scan order (rg, s, cg) — masked-valid
+    bits only. Returns the concatenated stream [out_rows * 128] u32."""
+    g, _, sr = segs.shape[:3]
+    nrg = g // ncg
+    segs5 = segs.reshape(nrg, ncg, SUBLANES, sr, LANES)
+    offv = offs.reshape(nrg, SUBLANES, ncg, 1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrg,),
+        in_specs=[
+            pl.BlockSpec((None, ncg, SUBLANES, sr, LANES),
+                         lambda i, offs_ref: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, ncg, 1, 1),
+                         lambda i, offs_ref: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (out_rows, LANES), lambda i, offs_ref: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, sr=sr, ncg=ncg,
+                          out_rows=out_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint32),
+        interpret=interpret,
+    )(offs.astype(jnp.int32), segs5, offv.astype(jnp.int32))
+    return out.reshape(-1)
+
+
+def fits_vmem(nbh: int, nbw: int, cap: int, ncg: int,
+              budget: int = 14 << 20) -> bool:
+    """Whether the VMEM-resident output buffer of stream_concat_pallas
+    (worst-case cap words per block) plus the double-buffered per-step
+    segment input fits the ~16 MB/core VMEM. Callers fall back to the
+    XLA merge tree above this size (or shard via the segments path)."""
+    sr = cap + 1
+    out_rows = -(-(nbh * nbw * cap) // LANES) + sr + 3
+    out_bytes = out_rows * LANES * 4
+    step_bytes = ncg * SUBLANES * sr * LANES * 4
+    return out_bytes + 2 * step_bytes <= budget
+
+
+def valid_mask(nbh: int, nbw: int, ncg: int, g: int):
+    """[G, 8, 128] bool: lane (g, s, l) is a real (non-pad) block."""
+    nrg = g // ncg
+    rg = jnp.arange(nrg)
+    s = jnp.arange(SUBLANES)
+    cg = jnp.arange(ncg)
+    l = jnp.arange(LANES)
+    row_ok = (rg[:, None] * SUBLANES + s[None, :]) < nbh  # [nrg, 8]
+    col_ok = (cg[:, None] * LANES + l[None, :]) < nbw  # [ncg, 128]
+    m = row_ok[:, None, :, None] & col_ok[None, :, None, :]
+    return m.reshape(g, SUBLANES, LANES)
+
+
+def concat_raw_pallas(w_raw, b_raw, nbh: int, nbw: int, ncg: int,
+                      interpret: bool = False):
+    """Concatenate per-block packed streams in grid-natural tiling into
+    one scan-order stream. w_raw [G, cap, 8, 128] u32, b_raw [G, 8, 128]
+    i32 (both may contain pad-lane garbage — masked here). Returns
+    (words [N] u32, total_bits i32); apply tail padding downstream."""
+    from ..ops.scan import cumsum_1d
+
+    g, cap = w_raw.shape[:2]
+    sr = cap + 1
+    m = valid_mask(nbh, nbw, ncg, g)
+    b_m = jnp.where(m, b_raw, 0)
+    w_m = jnp.where(m[:, None], w_raw, 0)
+    segs = merge_sublanes_pallas(w_m, b_m, interpret=interpret)
+    segbits = jnp.sum(b_m, axis=-1)  # [G, 8]
+    nrg = g // ncg
+    sb = segbits.reshape(nrg, ncg, SUBLANES).transpose(0, 2, 1).reshape(-1)
+    inc = cumsum_1d(sb)
+    offs = inc - sb  # exclusive, scan order (rg, s, cg)
+    total = inc[-1]
+    out_rows = -(-(nbh * nbw * cap) // LANES) + sr + 3
+    words = stream_concat_pallas(
+        segs, offs, ncg=ncg, out_rows=out_rows, interpret=interpret
+    )
+    return words, total.astype(jnp.int32)

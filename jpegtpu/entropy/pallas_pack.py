@@ -267,15 +267,27 @@ def encode_blocks_pallas(zz, dc_diff, cap: int = 8, table: int = 0,
     raw=True skips the final minor-axis relayout and returns the kernel's
     native tiling (words [G, cap, 8, 128], bits [G, 8, 128], overflow) —
     the layout merge_streams_pallas consumes, so multi-launch callers
-    (the color MCU merge) pay zero relayouts between the two kernels."""
-    nb = zz.shape[0]
-    g = -(-nb // BLOCKS_PER_STEP)
-    npad = g * BLOCKS_PER_STEP
-    zz = jnp.pad(zz.astype(jnp.int32), ((0, npad - nb), (0, 0)))
-    dc_diff = jnp.pad(dc_diff.astype(jnp.int32), (0, npad - nb))
-    # [npad, 64] -> [G, 64, 8, 128] coefficient-major
-    zzt = zz.T.reshape(64, g, SUBLANES, LANES).transpose(1, 0, 2, 3)
-    dct_ = dc_diff.reshape(g, SUBLANES, LANES)[:, None]
+    (the color MCU merge) pay zero relayouts between the two kernels.
+
+    PRE-TILED input: zz may be [G, 64, 8, 128] (the layout
+    ops.pallas_transform.transform_plane_raw emits) with dc_diff
+    [G, 8, 128]; the XLA re-tiling prep is skipped entirely. Block->lane
+    mapping is then the caller's (grid-natural); combine with raw=True
+    and ops.pallas_transform.raw_to_scan for scan order."""
+    if zz.ndim == 4:
+        g = zz.shape[0]
+        npad = nb = g * BLOCKS_PER_STEP
+        zzt = zz.astype(jnp.int32)
+        dct_ = dc_diff.astype(jnp.int32)[:, None]
+    else:
+        nb = zz.shape[0]
+        g = -(-nb // BLOCKS_PER_STEP)
+        npad = g * BLOCKS_PER_STEP
+        zz = jnp.pad(zz.astype(jnp.int32), ((0, npad - nb), (0, 0)))
+        dc_diff = jnp.pad(dc_diff.astype(jnp.int32), (0, npad - nb))
+        # [npad, 64] -> [G, 64, 8, 128] coefficient-major
+        zzt = zz.T.reshape(64, g, SUBLANES, LANES).transpose(1, 0, 2, 3)
+        dct_ = dc_diff.reshape(g, SUBLANES, LANES)[:, None]
 
     tabs = _kernel_tables(table)
 
@@ -383,6 +395,227 @@ def merge_streams_pallas(w_raw, b_raw, interpret: bool = False):
         interpret=interpret,
     )(w_raw.astype(jnp.uint32), b_raw.astype(jnp.int32))
     return out, bits[:, 0]
+
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def _realign_mats():
+    """[4, 128, 128] f32 selection matrices, entry (2*cg + sx):
+    dst MCU lane (64*cg + jj) <- src Y lane (2*jj + sx) of col-group cg.
+    Each column has exactly one 1, so f32 matmuls against them are exact
+    lane permutations (no accumulation)."""
+    m = np.zeros((4, LANES, LANES), np.float32)
+    for cg in range(2):
+        for sx in range(2):
+            for jj in range(64):
+                m[2 * cg + sx, 2 * jj + sx, 64 * cg + jj] = 1.0
+    return m
+
+
+def _merge_mcu_kernel(mats_ref, y_ref, by_ref, cb_ref, bcb_ref, cr_ref,
+                      bcr_ref, out_ref, bits_ref, *, cap: int, fy: int,
+                      fx: int):
+    """One MCU-grid group step: interleave-merge E = fy*fx + 2 per-block
+    streams straight from NATURAL grid layouts.
+
+    y_ref [fy, fx, cap, 8, 128] u32 — the fy x fx Y groups covering this
+    chroma group's MCUs; by_ref [fy, fx, 8, 128] i32; cb/cr_ref
+    [cap, 8, 128] u32 with bits [8, 128] i32; out_ref [E*cap, 8, 128],
+    bits_ref [8, 128]. Y lanes are realigned to MCU lanes by the static
+    selection matmuls (u16 halves, f32 MXU — exact), then the register
+    walk of _merge_kernel concatenates the E streams per lane."""
+    shp = (SUBLANES, LANES)
+    e = fy * fx + 2
+    cap_out = e * cap
+    zero_u = jnp.zeros(shp, jnp.uint32)
+
+    if fx == 2:
+        r_w = [[None] * 2 for _ in range(fy)]
+        r_b = [[None] * 2 for _ in range(fy)]
+        for rg in range(fy):
+            for sx in range(2):
+                # 8-bit byte planes in bf16: the selection is a pure
+                # permutation (one 1 per column) so bf16 MXU passes are
+                # exact for values <= 255; the bits matvec uses HIGHEST
+                # (true f32) since bit counts can exceed 256. Default
+                # MXU precision is bf16 and silently rounds wider data.
+                planes = [None] * 4
+                b_acc = None
+                for cg in range(2):
+                    a = mats_ref[2 * cg + sx].astype(jnp.bfloat16)
+                    w = y_ref[rg, cg].reshape(cap * SUBLANES, LANES)
+                    for bidx in range(4):
+                        bv = (
+                            (w >> jnp.uint32(8 * bidx)) & jnp.uint32(0xFF)
+                        ).astype(jnp.int32).astype(jnp.float32)
+                        m = jax.lax.dot(
+                            bv.astype(jnp.bfloat16), a,
+                            preferred_element_type=jnp.float32,
+                        )
+                        planes[bidx] = (
+                            m if planes[bidx] is None else planes[bidx] + m
+                        )
+                    mb = jax.lax.dot(
+                        by_ref[rg, cg].astype(jnp.float32),
+                        mats_ref[2 * cg + sx],
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+                    b_acc = mb if b_acc is None else b_acc + mb
+                acc = jnp.zeros((cap * SUBLANES, LANES), jnp.uint32)
+                for bidx in range(4):
+                    acc = acc | (
+                        planes[bidx].astype(jnp.int32).astype(jnp.uint32)
+                        << jnp.uint32(8 * bidx)
+                    )
+                r_w[rg][sx] = acc
+                r_b[rg][sx] = b_acc.astype(jnp.int32)
+
+    def y_word(sy, sx, j):
+        if fx == 1:
+            return y_ref[0, 0, j]
+        if fy == 1:
+            return r_w[0][sx][j * SUBLANES : (j + 1) * SUBLANES]
+        # 420: output sublane s <- (rg = s//4, src sublane 2*(s%4)+sy).
+        # Single-row slices (strided slicing lowers to an unsupported
+        # gather in Mosaic).
+        return jnp.concatenate(
+            [
+                r_w[rg][sx][j * SUBLANES + 2 * m + sy
+                            : j * SUBLANES + 2 * m + sy + 1]
+                for rg in range(2)
+                for m in range(4)
+            ],
+            axis=0,
+        )
+
+    def y_bits(sy, sx):
+        if fx == 1:
+            return by_ref[0, 0]
+        if fy == 1:
+            return r_b[0][sx]
+        return jnp.concatenate(
+            [
+                r_b[rg][sx][2 * m + sy : 2 * m + sy + 1]
+                for rg in range(2)
+                for m in range(4)
+            ],
+            axis=0,
+        )
+
+    streams = []
+    for sy in range(fy):
+        for sx in range(fx):
+            streams.append(
+                (functools.partial(y_word, sy, sx), y_bits(sy, sx))
+            )
+    streams.append((lambda j: cb_ref[j], bcb_ref[...]))
+    streams.append((lambda j: cr_ref[j], bcr_ref[...]))
+
+    frame = [zero_u] * cap_out
+    off = jnp.zeros(shp, jnp.int32)
+    for s_idx, (wfn, bts) in enumerate(streams):
+        r = (off & 31).astype(jnp.uint32)
+        base = off >> 5
+        t = jnp.clip(32 - (off & 31), 0, 31).astype(jnp.uint32)
+        rz = r == 0
+        words_s = [wfn(j) for j in range(cap)]
+        for j in range(cap + 1):
+            cur = words_s[j] if j < cap else zero_u
+            prv = words_s[j - 1] if j >= 1 else zero_u
+            v = jnp.where(rz, cur, (cur >> r) | (prv << t))
+            hi_pos = min(cap * s_idx + j, cap_out - 1)
+            for p in range(j, hi_pos + 1):
+                frame[p] = frame[p] | jnp.where(base == p - j, v, 0)
+        off = off + bts
+    for j in range(cap_out):
+        out_ref[j] = frame[j]
+    bits_ref[...] = off
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nrg_c", "ncg_c", "subsampling", "interpret"),
+)
+def merge_mcu_natural_pallas(w_y, b_y, w_c, b_c, nrg_c: int, ncg_c: int,
+                             subsampling: str = "420",
+                             interpret: bool = False):
+    """MCU scan interleave straight from NATURAL grid-layout packed
+    blocks — no slot planes, no XLA stack/transpose staging.
+
+    w_y [Gy, cap, 8, 128] u32 over the full-res Y plane padded to
+    (fy*kh_c, fx*kw_c) (so Gy = fy*fx*Gc); b_y [Gy, 8, 128] i32;
+    w_c [2, Gc, cap, 8, 128] u32 (Cb, Cr) over the chroma grid with
+    b_c [2, Gc, 8, 128]. Returns (merged [Gc, E*cap, 8, 128] u32,
+    bits [Gc, 8, 128] i32) in the CHROMA (== MCU) grid-natural layout.
+
+    This replaces the reference's per-MCU component loop
+    (dsp jpeg_compression.c:150-178) with one kernel pass whose only
+    data movement is the static Y lane realignment on the MXU."""
+    fy = 2 if subsampling == "420" else 1
+    fx = 1 if subsampling == "444" else 2
+    cap = w_y.shape[1]
+    e = fy * fx + 2
+    nry, ncy = fy * nrg_c, fx * ncg_c
+    y5 = w_y.reshape(nry, ncy, cap, SUBLANES, LANES)
+    by4 = b_y.reshape(nry, ncy, SUBLANES, LANES)
+    c6 = w_c.reshape(2, nrg_c, ncg_c, cap, SUBLANES, LANES)
+    bc5 = b_c.reshape(2, nrg_c, ncg_c, SUBLANES, LANES)
+    mats = jnp.asarray(_realign_mats())
+    out, bits = pl.pallas_call(
+        functools.partial(_merge_mcu_kernel, cap=cap, fy=fy, fx=fx),
+        grid=(nrg_c, ncg_c),
+        in_specs=[
+            pl.BlockSpec((4, LANES, LANES), lambda a, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fy, fx, cap, SUBLANES, LANES),
+                         lambda a, b: (a, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fy, fx, SUBLANES, LANES),
+                         lambda a, b: (a, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, cap, SUBLANES, LANES),
+                         lambda a, b: (a, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, SUBLANES, LANES),
+                         lambda a, b: (a, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, cap, SUBLANES, LANES),
+                         lambda a, b: (a, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, SUBLANES, LANES),
+                         lambda a, b: (a, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, e * cap, SUBLANES, LANES),
+                         lambda a, b: (a, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, SUBLANES, LANES),
+                         lambda a, b: (a, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (nrg_c, ncg_c, e * cap, SUBLANES, LANES), jnp.uint32
+            ),
+            jax.ShapeDtypeStruct(
+                (nrg_c, ncg_c, SUBLANES, LANES), jnp.int32
+            ),
+        ],
+        interpret=interpret,
+    )(
+        mats, y5.astype(jnp.uint32), by4.astype(jnp.int32),
+        c6[0].astype(jnp.uint32), bc5[0].astype(jnp.int32),
+        c6[1].astype(jnp.uint32), bc5[1].astype(jnp.int32),
+    )
+    g = nrg_c * ncg_c
+    return (
+        out.reshape(g, e * cap, SUBLANES, LANES),
+        bits.reshape(g, SUBLANES, LANES),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "interpret"))

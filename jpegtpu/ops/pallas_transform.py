@@ -1,0 +1,183 @@
+"""Fused Pallas transform: pixels -> quantized zigzag levels in the
+entropy kernel's native tiling, zero XLA relayouts.
+
+The XLA fused transform (`ops/fused_transform.py`) computes the DCT
+matmuls at memory speed, but the surrounding data movement — blockify
+transpose, zigzag gather, and the coefficient-major re-tiling the fused
+entropy kernel consumes — costs ~2.5 ms for a 12 MPix image (measured,
+tools/levels_micro.py), ~20x the matmuls themselves. This kernel folds
+that entire permutation into the transform:
+
+- Tile = [64, 1024] pixels = 8 block rows x 128 block columns, exactly
+  one [64, 8, 128] output step of `entropy.pallas_pack.encode_blocks_pallas`.
+- Column DCT uses a ROW-PERMUTED block-diagonal basis (output row
+  8u + br), row DCT runs per 128-lane chunk with a COLUMN-PERMUTED
+  basis (output lane 16v + bc), so coefficient (u, v) of every block in
+  the tile lands in one contiguous [8, 16] window — the zigzag
+  placement is 64 aligned vector stores, not a gather.
+- Quantization (true division by the Annex-K/IJG table + roundf's
+  round-half-away, natural_c quantization.c:36) applies to whole
+  [64, 128] chunks against a statically re-tiled quant pattern.
+
+Block (br, bc) of a plane maps to grid-natural coordinates
+(g = (br >> 3) * ncg + (bc >> 7), sublane = br & 7, lane = bc & 127).
+Scan-order consumers recover raster order with major-axis slices of the
+small per-block outputs (words/bits), never of the 64-wide levels.
+
+This is the TPU edition of the DSP port's macro-block loop
+(dsp jpeg_compression.c:125-186): transform-to-symbol-ready data staged
+through fast memory in one pass, with Pallas BlockSpecs playing the
+Streaming Engines' role (streaming_engine.cpp:8-34).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import tables
+
+TILE_H = 64      # 8 block rows
+TILE_W = 1024    # 128 block cols
+LANES = 128
+SUBLANES = 8
+
+
+@functools.lru_cache(maxsize=4)
+def _permuted_bases(bitexact: bool):
+    """(col basis [64, 64], row chunk basis [128, 128]) f32.
+
+    Col: out[8u + br] = sum_y T[u, y] * in[8br + y]
+    Row: out[16v + bc] = sum_x T[v, x] * in[8bc + x]
+    """
+    t8 = (
+        tables.dct_basis_reference(np.float32)
+        if bitexact
+        else tables.dct_basis(np.float32)
+    )
+    col = np.zeros((TILE_H, TILE_H), np.float32)
+    for u in range(8):
+        for br in range(8):
+            for y in range(8):
+                col[8 * u + br, 8 * br + y] = t8[u, y]
+    row = np.zeros((LANES, LANES), np.float32)
+    for v in range(8):
+        for bc in range(16):
+            for x in range(8):
+                row[8 * bc + x, 16 * v + bc] = t8[v, x]
+    return col, row
+
+
+def _quant_pattern(qtable):
+    """[64, 128] f32: q[u, v] at [8u + br, 16v + bc] (traceable)."""
+    qt = jnp.asarray(qtable, jnp.float32).reshape(8, 8)
+    return jnp.repeat(jnp.repeat(qt, SUBLANES, axis=0), 16, axis=1)
+
+
+_ZZ_OF_UV = np.empty((8, 8), np.int64)
+for _k, (_u, _v) in enumerate(
+    (divmod(int(i), 8) for i in np.asarray(tables.ZIGZAG_ORDER))
+):
+    _ZZ_OF_UV[_u, _v] = _k
+
+
+def _transform_kernel(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
+    """[64, 1024] u8 pixels -> [64, 8, 128] i32 zigzag levels."""
+    # Mosaic has no direct u8->f32 cast; widen to i32 first.
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32) - 128.0
+    y = jax.lax.dot(
+        colb_ref[...], x, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    rowb = rowb_ref[...]
+    q = q_ref[...]
+    chunks = []
+    for c in range(TILE_W // LANES):
+        z = jax.lax.dot(
+            y[:, c * LANES : (c + 1) * LANES], rowb,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        s = z / q
+        lv = jnp.where(
+            s >= 0, jnp.floor(s + 0.5), jnp.ceil(s - 0.5)
+        ).astype(jnp.int32)
+        chunks.append(lv)
+    for u in range(8):
+        for v in range(8):
+            out_ref[int(_ZZ_OF_UV[u, v])] = jnp.concatenate(
+                [
+                    ch[8 * u : 8 * u + 8, 16 * v : 16 * v + 16]
+                    for ch in chunks
+                ],
+                axis=1,
+            )
+
+
+def padded_dims_kernel(h: int, w: int) -> tuple[int, int]:
+    return (-(-h // TILE_H) * TILE_H, -(-w // TILE_W) * TILE_W)
+
+
+@functools.partial(jax.jit, static_argnames=("bitexact", "interpret"))
+def transform_plane_raw(img, qtable, bitexact: bool = True,
+                        interpret: bool = False):
+    """Pixel plane [PH, PW] (PH % 64 == 0, PW % 1024 == 0, uint8/int) ->
+    zigzag levels [G, 64, 8, 128] i32 in the entropy kernel's tiling,
+    G = (PH//64) * (PW//1024) grid-natural tiles (row groups major).
+
+    Block (br, bc) -> (g, s, l) = ((br>>3)*ncg + (bc>>7), br&7, bc&127).
+    Pad lanes (from rounding PH/PW up) hold the transform of whatever
+    padding pixels were supplied; callers slice or mask downstream.
+    """
+    ph, pw = img.shape
+    nrg, ncg = ph // TILE_H, pw // TILE_W
+    colb, rowb = _permuted_bases(bitexact)
+    qpat = _quant_pattern(qtable)
+    out = pl.pallas_call(
+        _transform_kernel,
+        grid=(nrg, ncg),
+        in_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, 64, SUBLANES, LANES),
+            lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nrg, ncg, 64, SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(img, jnp.asarray(colb), jnp.asarray(rowb), jnp.asarray(qpat))
+    return out.reshape(nrg * ncg, 64, SUBLANES, LANES)
+
+
+def raw_to_scan(raw, nbh: int, nbw: int, ncg: int):
+    """[G, C, 8, 128] grid-natural -> [C, nbh*nbw] raster scan order.
+
+    Major-axis transpose + slice of a small per-block array (words, bits,
+    DC values — NEVER the 64-wide levels)."""
+    g, c = raw.shape[:2]
+    nrg = g // ncg
+    x = raw.reshape(nrg, ncg, c, SUBLANES, LANES)
+    x = x.transpose(2, 0, 3, 1, 4).reshape(c, nrg * SUBLANES, ncg * LANES)
+    return x[:, :nbh, :nbw].reshape(c, nbh * nbw)
+
+
+def scan_to_raw(arr, nbh: int, nbw: int, ncg: int):
+    """[nbh*nbw] raster scan -> [G, 8, 128] grid-natural (zero-padded)."""
+    nrg = -(-nbh // SUBLANES)
+    x = arr.reshape(nbh, nbw)
+    x = jnp.pad(x, ((0, nrg * SUBLANES - nbh), (0, ncg * LANES - nbw)))
+    x = x.reshape(nrg, SUBLANES, ncg, LANES).transpose(0, 2, 1, 3)
+    return x.reshape(nrg * ncg, SUBLANES, LANES)

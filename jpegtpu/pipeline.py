@@ -103,6 +103,10 @@ def gray_encode_body(img, cfg: EncodeConfig, is_rgb: bool,
     device compute without the per-dispatch transport floor)."""
     ph, pw = img.shape[:2]
     nb = (ph // 8) * (pw // 8)
+    if cfg.dct_dtype != "int32" and cap_words_per_block <= 16:
+        return _gray_encode_body_raw(
+            img, cfg, is_rgb, cap_words_per_block, stuff
+        )
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     zz = _gray_levels(
@@ -114,6 +118,56 @@ def gray_encode_body(img, cfg: EncodeConfig, is_rgb: bool,
         pad_ones=cfg.pad_ones,
         stuff=stuff,
     )
+
+
+def _gray_encode_body_raw(img, cfg: EncodeConfig, is_rgb: bool,
+                          cap: int, stuff: bool):
+    """All-Pallas grayscale body: the fused transform kernel emits
+    quantized zigzag levels directly in the entropy kernel's tiling
+    (ops.pallas_transform), the fused symbolize+pack kernel consumes them
+    pre-tiled, and the only relayouts in the whole chain are major-axis
+    moves of the small per-block outputs (words/bits/DC) — the ~2.5 ms
+    blockify+zigzag+re-tiling relayout chain of the XLA path (measured,
+    tools/levels_micro.py) disappears."""
+    from .entropy import pallas_concat, pallas_pack, treepack
+    from .ops import color as color_ops, pallas_transform as pt
+
+    y = color_ops.rgb_to_y_reference(img) if is_rgb else img
+    h, w = y.shape
+    nbh, nbw = h // 8, w // 8
+    kh, kw = pt.padded_dims_kernel(h, w)
+    if (kh, kw) != (h, w):
+        y = jnp.pad(y, ((0, kh - h), (0, kw - w)))
+    ncg = kw // pt.TILE_W
+    interp = jax.default_backend() == "cpu"
+    qtable_np = cfg.luma_quant.astype(np.float32)
+    raw = pt.transform_plane_raw(
+        y, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp
+    )
+    dc_scan = pt.raw_to_scan(raw[:, :1], nbh, nbw, ncg)[0]
+    dcd = entropy_device.dc_differences(dc_scan, 0)
+    dcd_raw = pt.scan_to_raw(dcd, nbh, nbw, ncg)
+    w_raw, b_raw, _ = pallas_pack.encode_blocks_pallas(
+        raw, dcd_raw, cap=cap, table=0, interpret=interp, raw=True
+    )
+    if pallas_concat.fits_vmem(nbh, nbw, cap, ncg):
+        m = pallas_concat.valid_mask(nbh, nbw, ncg, w_raw.shape[0])
+        overflow = jnp.any(jnp.where(m, b_raw, 0) > cap * 32)
+        words, total_bits = pallas_concat.concat_raw_pallas(
+            w_raw, b_raw, nbh, nbw, ncg, interpret=interp
+        )
+    else:
+        w_t = pt.raw_to_scan(w_raw, nbh, nbw, ncg)
+        bits = pt.raw_to_scan(b_raw[:, None], nbh, nbw, ncg)[0]
+        overflow = jnp.any(bits > cap * 32)
+        words, total_bits = treepack.concat_blocks_tree(w_t, bits)
+    words, total_bits = treepack._apply_tail_padding(
+        words, total_bits, cfg.pad_ones
+    )
+    if not stuff:
+        return words, total_bits, overflow
+    out, nbytes = entropy_device.stuff_bytes_device(words, total_bits)
+    return out, nbytes, overflow
 
 
 def grayscale_coefficients(
