@@ -132,10 +132,20 @@ def _batch_color_fn(
             zy, zcb, zcr, nbh, nbw, cfg.subsampling, cap
         )
         mcu_cap = w_all.shape[0]
-        streams, totals = treepack.concat_segments_tree(
-            w_all.reshape(mcu_cap, b, nmcu), b_all.reshape(b, nmcu),
-            out_words_per_seg=nslots * cap
-        )
+        from .entropy import pallas_concat
+
+        if pallas_concat.segments_pallas_ok(nmcu, mcu_cap):
+            streams, totals = pallas_concat.concat_segments_pallas(
+                w_all.reshape(mcu_cap, b * nmcu),
+                b_all.reshape(b * nmcu),
+                nmcu, nslots * cap,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            streams, totals = treepack.concat_segments_tree(
+                w_all.reshape(mcu_cap, b, nmcu), b_all.reshape(b, nmcu),
+                out_words_per_seg=nslots * cap
+            )
         streams, totals = treepack.apply_tail_padding_segments(
             streams, totals, cfg.pad_ones
         )

@@ -444,12 +444,20 @@ def encode_segments_device(
         mask = jnp.arange(n_total) < n_valid
         bits = jnp.where(mask, bits, 0)
         w_t = jnp.where(mask[None, :], w_t, 0)
-    streams, totals = treepack.concat_segments_tree(
-        w_t.reshape(cap_per_block, s, seg_slots),
-        bits.reshape(s, seg_slots),
-        out_words_per_seg=seg_slots * cap_per_block,
-        deposit_threshold=deposit_threshold,
-    )
+    from . import pallas_concat
+
+    if pallas_concat.segments_pallas_ok(seg_slots, cap_per_block):
+        streams, totals = pallas_concat.concat_segments_pallas(
+            w_t, bits, seg_slots, seg_slots * cap_per_block,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        streams, totals = treepack.concat_segments_tree(
+            w_t.reshape(cap_per_block, s, seg_slots),
+            bits.reshape(s, seg_slots),
+            out_words_per_seg=seg_slots * cap_per_block,
+            deposit_threshold=deposit_threshold,
+        )
     return (*treepack.apply_tail_padding_segments(streams, totals, pad_ones),
             overflow)
 

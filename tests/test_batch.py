@@ -63,3 +63,30 @@ def test_batch_bucket_padding_images_ignored():
     got = batch.encode_grayscale_batch(images)
     assert len(got) == 3
     assert all(isinstance(b, bytes) and b[:2] == b"\xff\xd8" for b in got)
+
+
+def test_batch_pallas_segment_concat_parity():
+    """Shapes whose per-image block count is a multiple of 128 take the
+    Pallas per-segment concat (pallas_concat.concat_segments_pallas);
+    streams must still be byte-identical to single-image encodes."""
+    from jpegtpu.entropy import pallas_concat
+
+    cfg = EncodeConfig()
+    # gray: 128x64 -> nb = 16*8 = 128 (one merged row per image)
+    assert pallas_concat.segments_pallas_ok(128, cfg.capacity_words_per_block)
+    images = [_img(128, 64, s) for s in range(3)]
+    got = batch.encode_grayscale_batch(images, cfg)
+    for i, img in enumerate(images):
+        assert got[i] == pipeline.encode_grayscale(img, cfg), f"gray {i}"
+
+    # color 4:2:0: 256x128 -> nmcu = 16*8 = 128 MCU slots per image
+    from jpegtpu import color_pipeline
+
+    ccfg = EncodeConfig(subsampling="420")
+    rng = np.random.default_rng(9)
+    rgbs = [
+        rng.integers(0, 256, (256, 128, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    gotc = batch.encode_color_batch(rgbs, ccfg)
+    for i, img in enumerate(rgbs):
+        assert gotc[i] == color_pipeline.encode_color(img, ccfg), f"color {i}"

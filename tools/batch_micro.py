@@ -1,0 +1,113 @@
+"""Attribute the batch gray encode on real TPU (chain-delta):
+vmapped levels -> + per-image DC -> full segments encode.
+
+Usage: python tools/batch_micro.py [b size reps k]
+"""
+import statistics
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import make_image
+from jpegtpu import pipeline
+from jpegtpu.config import EncodeConfig
+from jpegtpu.entropy import device as ed
+
+
+def chain_ms(body, img_dev, reps=5, k=3):
+    def chain(n):
+        @jax.jit
+        def fn(img):
+            tot = jnp.float32(0)
+            for i in range(n):
+                r = body(img ^ jnp.uint8(i))
+                tot = tot + sum(
+                    jnp.sum(x, dtype=jnp.float32)
+                    for x in jax.tree.leaves(r)
+                )
+            return tot
+
+        return fn
+
+    f1, fk = chain(1), chain(k)
+    jax.device_get((f1(img_dev), fk(img_dev)))
+
+    def t(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(f(img_dev))
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    return max((t(fk) - t(f1)) / (k - 1), 1e-9) * 1000
+
+
+def main():
+    b, size = 256, 512
+    reps, k = 5, 3
+    if len(sys.argv) >= 3:
+        b, size = int(sys.argv[1]), int(sys.argv[2])
+    if len(sys.argv) >= 4:
+        reps = int(sys.argv[3])
+    if len(sys.argv) >= 5:
+        k = int(sys.argv[4])
+    mpix = b * size * size / 1e6
+
+    cfg = EncodeConfig()
+    cap = cfg.capacity_words_per_block
+    nb = (size // 8) ** 2
+    base = make_image(size, size)
+    rng = np.random.default_rng(1)
+    imgs = np.stack(
+        [np.roll(base, int(rng.integers(0, size)), axis=1) for _ in range(b)]
+    )
+    arr = jnp.asarray(imgs)
+    basis = jnp.asarray(cfg.dct_basis())
+    qt = jnp.asarray(cfg.luma_quant.astype(np.float32))
+
+    def levels(x):
+        return jax.vmap(
+            lambda im: pipeline._gray_levels(im, cfg, basis, qt, False)
+        )(x)
+
+    def dc(x):
+        zz = levels(x)
+        flat = zz.reshape(b * nb, 64).astype(jnp.int32)
+        dcd = ed.dc_differences(flat[:, 0], nb)
+        return flat, dcd
+
+    def pack(x):
+        flat, dcd = dc(x)
+        return ed._per_block_words(flat, 0, dcd, cap)
+
+    def full(x):
+        flat, dcd = dc(x)
+        return ed.encode_segments_device(
+            flat, nb, b * nb, 0, dcd, cap, pad_ones=cfg.pad_ones
+        )
+
+    rows = [
+        ("vmap levels", levels),
+        ("+dc", dc),
+        ("+block pack", pack),
+        ("full (segments)", full),
+    ]
+    for name, body in rows:
+        ms = chain_ms(body, arr, reps, k)
+        print(f"{name:<17}{ms:>9.2f} ms  {mpix / (ms / 1000):>9.1f} MPix/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
