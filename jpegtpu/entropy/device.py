@@ -446,9 +446,25 @@ def encode_segments_device(
         w_t = jnp.where(mask[None, :], w_t, 0)
     from . import pallas_concat
 
-    if pallas_concat.segments_pallas_ok(seg_slots, cap_per_block):
+    # Any restart interval rides the Pallas per-segment concat: pad each
+    # segment's (words, bits) columns to a 128-slot multiple AFTER the
+    # block pack (padded slots carry zero bits by construction, so no
+    # interior masking is needed and the pack kernel does no extra work).
+    seg128 = -(-seg_slots // 128) * 128
+    if pallas_concat.segments_pallas_ok(seg128, cap_per_block):
+        if seg128 != seg_slots:
+            w_p = jnp.pad(
+                w_t.reshape(cap_per_block, s, seg_slots),
+                ((0, 0), (0, 0), (0, seg128 - seg_slots)),
+            ).reshape(cap_per_block, s * seg128)
+            b_p = jnp.pad(
+                bits.reshape(s, seg_slots),
+                ((0, 0), (0, seg128 - seg_slots)),
+            ).reshape(-1)
+        else:
+            w_p, b_p = w_t, bits
         streams, totals = pallas_concat.concat_segments_pallas(
-            w_t, bits, seg_slots, seg_slots * cap_per_block,
+            w_p, b_p, seg128, seg_slots * cap_per_block,
             interpret=jax.default_backend() == "cpu",
         )
     else:
