@@ -118,10 +118,13 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
     zero_u = jnp.zeros(shp, jnp.uint32)
 
     def size_of(mag):
-        s = jnp.zeros(shp, jnp.int32)
-        for k in range(11):
-            s = s + (mag >= (1 << k)).astype(jnp.int32)
-        return s
+        """Magnitude category via the f32 exponent field: for
+        0 < mag < 2^24 (ours are <= 2047), float(mag) is exact and its
+        biased exponent is 126 + size — 4 vector ops instead of the
+        11-compare ladder."""
+        f = mag.astype(jnp.float32)
+        e = jax.lax.bitcast_convert_type(f, jnp.int32) >> 23
+        return jnp.where(mag > 0, e - 126, 0)
 
     def append(state, val, ln):
         """Append (val, ln<=32 bits) to the accumulator; retire one word.
@@ -174,42 +177,70 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         jnp.zeros(shp, jnp.int32),
         tuple(zero_u for _ in range(cap)),
     )
-    state = append(state, dcode, dlen)
-    state = append(state, damp, dsize)
+    # code||amplitude fused into one append (<= 11 + 11 = 22 bits): one
+    # accumulator/retire pass instead of two.
+    state = append(
+        state, (dcode << dsize.astype(jnp.uint32)) | damp, dlen + dsize
+    )
 
     zrl_val = jnp.full(shp, zrl_code, jnp.uint32)
     zl = jnp.full(shp, zrl_len, jnp.int32)
+    zrl2_val = jnp.full(
+        shp, (zrl_code << zrl_len) | zrl_code, jnp.uint32
+    )
+    zl2 = jnp.full(shp, 2 * zrl_len, jnp.int32)
 
-    def body(k, carry):
+    def body(k, carry, max_zrl):
+        """max_zrl bounds the possible ZRL emissions at element k
+        (run >= 16 requires >= 16 preceding zeros, so elements 1-16
+        cannot emit any, 17-32 at most one, etc.) — the ZRL appends and
+        their retire passes vanish from the early loop ranges."""
         state, run = carry
         v = zz_ref[k]
         nz = v != 0
         mag = jnp.abs(v)
         size = size_of(mag)
-        # up to three ZRLs for runs >= 16
         acc_run = run
-        for _ in range(3):
-            emit_zrl = nz & (acc_run >= 16)
+        if max_zrl >= 2:
+            # two ZRLs fused into one append (22 bits)
+            two = nz & (acc_run >= 32)
+            one = nz & (acc_run >= 16) & ~two
             state = append(
                 state,
-                jnp.where(emit_zrl, zrl_val, 0),
-                jnp.where(emit_zrl, zl, 0),
+                jnp.where(two, zrl2_val, jnp.where(one, zrl_val, 0)),
+                jnp.where(two, zl2, jnp.where(one, zl, 0)),
             )
-            acc_run = jnp.where(emit_zrl, acc_run - 16, acc_run)
+            acc_run = jnp.where(two, acc_run - 32,
+                                jnp.where(one, acc_run - 16, acc_run))
+        if max_zrl in (1, 3):
+            emit = nz & (acc_run >= 16)
+            state = append(
+                state,
+                jnp.where(emit, zrl_val, 0),
+                jnp.where(emit, zl, 0),
+            )
+            acc_run = jnp.where(emit, acc_run - 16, acc_run)
         pk = code_for(jnp.where(nz, acc_run, 0), jnp.where(nz, size, 0), ac_pack)
         code = (pk >> 6).astype(jnp.uint32)
         clen = jnp.where(nz, pk & 63, 0)
         amp = jnp.where(v > 0, v, v - 1).astype(jnp.uint32) & (
             (jnp.uint32(1) << size.astype(jnp.uint32)) - 1
         )
-        state = append(state, code, clen)
-        state = append(state, jnp.where(nz, amp, 0), jnp.where(nz, size, 0))
+        usize = jnp.where(nz, size, 0)
+        state = append(
+            state,
+            (code << usize.astype(jnp.uint32)) | jnp.where(nz, amp, 0),
+            clen + usize,
+        )
         run = jnp.where(nz, 0, run + 1)
         return state, run
 
-    state, run = jax.lax.fori_loop(
-        1, 64, lambda k, c: body(k, c), (state, jnp.zeros(shp, jnp.int32))
-    )
+    carry = (state, jnp.zeros(shp, jnp.int32))
+    for lo, hi, mz in ((1, 17, 0), (17, 33, 1), (33, 49, 2), (49, 64, 3)):
+        carry = jax.lax.fori_loop(
+            lo, hi, lambda k, c, mz=mz: body(k, c, mz), carry
+        )
+    state, run = carry
 
     # EOB iff the block's tail is zero
     eobm = run > 0

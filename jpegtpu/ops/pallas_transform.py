@@ -103,9 +103,10 @@ def _transform_kernel(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
             preferred_element_type=jnp.float32,
         )
         s = z / q
-        lv = jnp.where(
-            s >= 0, jnp.floor(s + 0.5), jnp.ceil(s - 0.5)
-        ).astype(jnp.int32)
+        # round-half-away == truncate-toward-zero after +/-0.5 bias
+        # (floor(s+.5) for s>=0, ceil(s-.5) for s<0 — identical values,
+        # two fewer vector passes than the floor/ceil/select chain).
+        lv = (s + jnp.where(s >= 0, 0.5, -0.5)).astype(jnp.int32)
         chunks.append(lv)
     for u in range(8):
         for v in range(8):
