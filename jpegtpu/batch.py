@@ -47,8 +47,124 @@ def _batch_encode_fn(
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb = (ph // 8) * (pw // 8)
+    cap = cap_words_per_block
+    from .ops import pallas_transform as pt
+
+    r = (
+        1 if pw % pt.TILE_W == 0
+        else (pt.TILE_W // pw if pt.TILE_W % pw == 0 else 0)
+    )
+    local_bsz = bsz if mesh is None else bsz // mesh.devices.size
+    _rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)
+    _rps = _rows_pp * (pw // pt.TILE_W if r == 1 else 1)
+    raw_ok = (
+        cfg.dct_dtype != "int32" and cap <= 16 and r > 0
+        and (r == 1 or (local_bsz % r == 0 and pw >= 8 * 16))
+        and _rps <= 256
+        and (nb * cap // 128 + cap + 8) * 512 <= 12 << 20
+    )
+
+    def encode_local_raw(imgs):
+        """All-Pallas batch body: images pack r-up into one plane for the
+        fused transform + pack kernels; the chunked row merge (ws = the
+        per-image block-row width) keeps each image's stream separate,
+        and the per-segment streaming concat emits one stream per image.
+        No vmapped XLA levels, no [B*nb, 64] coefficient relayouts."""
+        from .entropy import pallas_concat, pallas_pack, treepack
+        from .ops import color as color_ops
+        from .ops.scan import cumsum_1d
+
+        b = imgs.shape[0]
+        if is_rgb:
+            imgs = jax.vmap(color_ops.rgb_to_y_reference)(imgs)
+        rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)  # block rows/img
+        ph_pad = rows_pp * 8
+        if ph_pad != ph:
+            imgs = jnp.pad(imgs, ((0, 0), (0, ph_pad - ph), (0, 0)))
+        # side-by-side packing: [B, ph_pad, pw] -> [B/r * ph_pad, r*pw]
+        plane = (
+            imgs.reshape(b // r, r, ph_pad, pw)
+            .transpose(0, 2, 1, 3)
+            .reshape(b // r * ph_pad, r * pw)
+        )
+        interp = jax.default_backend() == "cpu"
+        raw = pt.transform_plane_raw(
+            plane, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp
+        )
+        g = raw.shape[0]
+        ncg = (r * pw) // pt.TILE_W
+        nbh_pl, nbw_pl = (b // r) * rows_pp, (r * pw) // 8
+        nbh_im, nbw_im = ph // 8, pw // 8
+
+        # per-image DC chains on the small DC vectors
+        dc_pl = pt.raw_to_scan(raw[:, :1], nbh_pl, nbw_pl, ncg)[0]
+        dc4 = dc_pl.reshape(b // r, rows_pp, r, nbw_im).transpose(0, 2, 1, 3)
+        dc_img = dc4[:, :, :nbh_im]  # [B/r, r, nbh_im, nbw_im] valid rows
+        dcd = entropy_device.dc_differences(dc_img.reshape(-1), nb)
+        dcd4 = jnp.pad(
+            dcd.reshape(b // r, r, nbh_im, nbw_im),
+            ((0, 0), (0, 0), (0, rows_pp - nbh_im), (0, 0)),
+        )
+        dcd_pl = dcd4.transpose(0, 2, 1, 3).reshape(nbh_pl * nbw_pl)
+        dcd_raw = pt.scan_to_raw(dcd_pl, nbh_pl, nbw_pl, ncg)
+
+        w_raw, b_raw, _ = pallas_pack.encode_blocks_pallas(
+            raw, dcd_raw, cap=cap, table=0, interpret=interp, raw=True
+        )
+        # zero out per-image pad rows (blocks beyond ph//8): block row of
+        # lane-row (g, s) is (g // ncg) * 8 + s, per-image via % rows_pp
+        gi = jnp.arange(g)
+        si = jnp.arange(8)
+        br = ((gi[:, None] // ncg) * 8 + si[None, :]) % rows_pp
+        valid_row = (br < nbh_im)[:, :, None]
+        b_m = jnp.where(valid_row, b_raw, 0)
+        w_m = jnp.where(valid_row[:, None], w_raw, 0)
+        overflow = jnp.any(b_m > cap * 32)
+
+        ws = nbw_im if r > 1 else pallas_concat.LANES
+        segs = pallas_concat.merge_sublanes_pallas(
+            w_m, b_m, ws=ws, interpret=interp
+        )  # [G, 8, R, 128]
+        if r > 1:
+            nc = pallas_concat.LANES // ws
+            cr = segs.shape[2] // nc
+            gpb = rows_pp // 8  # groups per band
+            segs2 = (
+                segs.reshape(b // r, gpb, 8, nc, cr, pallas_concat.LANES)
+                .transpose(0, 3, 1, 2, 4, 5)
+                .reshape(b * rows_pp, cr, pallas_concat.LANES)
+            )
+            chunkbits = jnp.sum(
+                b_m.reshape(g, 8, nc, ws), axis=-1
+            )  # [G, 8, nc]
+            rowbits = (
+                chunkbits.reshape(b // r, gpb, 8, nc)
+                .transpose(0, 3, 1, 2)
+                .reshape(b, rows_pp)
+            )
+            rows_per_seg = rows_pp
+        else:
+            cr = segs.shape[2]
+            segs2 = segs.reshape(g * 8, cr, pallas_concat.LANES)
+            rowbits = jnp.sum(b_m, axis=-1).reshape(b, rows_pp * ncg)
+            rows_per_seg = rows_pp * ncg
+
+        inc = jax.vmap(cumsum_1d)(rowbits)
+        offs = (inc - rowbits).reshape(-1)
+        totals = inc[:, -1].astype(jnp.int32)
+        out_rows = -(-(nb * cap) // pallas_concat.LANES) + cr + 3
+        streams = pallas_concat._stream_concat_rows(
+            segs2, offs, rows_per_seg=rows_per_seg, out_rows=out_rows,
+            interpret=interp,
+        ).reshape(b, out_rows * pallas_concat.LANES)[:, : nb * cap]
+        streams, totals = treepack.apply_tail_padding_segments(
+            streams, totals, cfg.pad_ones
+        )
+        return streams, totals, overflow
 
     def encode_local(imgs):
+        if raw_ok:
+            return encode_local_raw(imgs)
         b = imgs.shape[0]
         zz = jax.vmap(
             lambda im: pipeline._gray_levels(

@@ -45,14 +45,25 @@ LANES = 128
 SUBLANES = 8
 
 
-def _merge_kernel(w_ref, b_ref, out_ref, *, cap: int):
+def _merge_kernel(w_ref, b_ref, out_ref, *, cap: int, ws: int = LANES):
     """w_ref [cap, 8, 128] u32 (pre-masked, words past bits are zero),
-    b_ref [8, 128] i32 (pre-masked), out_ref [8, SR, 128] u32 where
-    SR = cap + 1. Lane l of sublane s is scan block 128*? + l; its bits
-    deposit at the intra-segment offset = sum of lanes < l."""
+    b_ref [8, 128] i32 (pre-masked), out_ref [8, R, 128] u32. Lane l of
+    sublane s is scan block 128*? + l; its bits deposit at the
+    intra-segment offset = sum of preceding lanes IN ITS CHUNK.
+
+    ws (a divisor of 128) splits each 128-lane row into nc = 128/ws
+    INDEPENDENT chunk segments — the mechanism that keeps per-image
+    streams separate when narrow images pack side by side into one
+    plane. Chunk c's segment lands row-aligned at word c*cr*128
+    (cr = chunk rows), so R = nc * cr; ws=128 degenerates to one
+    segment per row with R = cap + 1 (the original behavior)."""
     sr = cap + 1
-    p_width = sr * LANES
+    nc = LANES // ws
+    cr = -(-(ws * cap + cap + 2) // LANES)
+    p_width = nc * cr * LANES
+    out_rows = p_width // LANES
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane_c = lane_i % ws if nc > 1 else lane_i
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -63,11 +74,13 @@ def _merge_kernel(w_ref, b_ref, out_ref, *, cap: int):
         inc = b
         for t in range(7):
             sh = 1 << t
+            if sh >= ws:
+                break
             inc = inc + jnp.where(
-                lane_i >= sh, pltpu.roll(inc, sh, axis=1), 0
+                lane_c >= sh, pltpu.roll(inc, sh, axis=1), 0
             )
-        excl = jnp.where(lane_i >= 1, pltpu.roll(inc, 1, axis=1), 0)
-        base = excl >> 5
+        excl = jnp.where(lane_c >= 1, pltpu.roll(inc, 1, axis=1), 0)
+        base = (excl >> 5) + (lane_i // ws) * (cr * LANES)
         r = jnp.bitwise_and(excl, 31).astype(jnp.uint32)
         t32 = jnp.clip(32 - (excl & 31), 0, 31).astype(jnp.uint32)
         rz = r == 0
@@ -106,7 +119,7 @@ def _merge_kernel(w_ref, b_ref, out_ref, *, cap: int):
         for j in range(sr):
             c = c | pltpu.roll(eu[j : j + 1, :], j, axis=1)
         out_ref[s] = jnp.concatenate(
-            [c[:, ro * LANES : (ro + 1) * LANES] for ro in range(sr)],
+            [c[:, ro * LANES : (ro + 1) * LANES] for ro in range(out_rows)],
             axis=0,
         )
 
@@ -202,19 +215,29 @@ def _merge_kernel_skew(w_ref, b_ref, out_ref, *, cap: int):
 _SKEW_MIN_CAP = 24
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def merge_sublanes_pallas(w_raw, b_raw, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("ws", "interpret"))
+def merge_sublanes_pallas(w_raw, b_raw, ws: int = LANES,
+                          interpret: bool = False):
     """([G, cap, 8, 128] u32 pre-masked words, [G, 8, 128] i32 bits) ->
-    segments [G, 8, SR, 128] u32 (MSB-aligned per (group, sublane) row),
-    SR = cap + 1. Segment bit counts are sum(b_raw, axis=-1) — computed
-    by the caller in XLA."""
+    segments [G, 8, R, 128] u32 (MSB-aligned). With ws=128 (default)
+    each (group, sublane) row merges into ONE segment and R = cap + 1;
+    with ws < 128 each row yields nc = 128/ws independent chunk
+    segments, chunk c row-aligned at segment row c*cr (R = nc*cr).
+    Segment bit counts are per-chunk sums of b_raw — computed by the
+    caller in XLA."""
     g, cap = w_raw.shape[:2]
-    sr = cap + 1
-    kern = (
-        _merge_kernel_skew if cap >= _SKEW_MIN_CAP else _merge_kernel
-    )
+    nc = LANES // ws
+    cr = -(-(ws * cap + cap + 2) // LANES)
+    sr = nc * cr if nc > 1 else cap + 1
+    if nc > 1:
+        kern = functools.partial(_merge_kernel, cap=cap, ws=ws)
+    else:
+        kern = functools.partial(
+            _merge_kernel_skew if cap >= _SKEW_MIN_CAP else _merge_kernel,
+            cap=cap,
+        )
     return pl.pallas_call(
-        functools.partial(kern, cap=cap),
+        kern,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((None, cap, SUBLANES, LANES),

@@ -90,3 +90,19 @@ def test_batch_pallas_segment_concat_parity():
     gotc = batch.encode_color_batch(rgbs, ccfg)
     for i, img in enumerate(rgbs):
         assert gotc[i] == color_pipeline.encode_color(img, ccfg), f"color {i}"
+
+
+def test_batch_raw_plane_parity():
+    """Shapes eligible for the packed-plane raw batch path (width 1024
+    or a divisor >= 128) must stay byte-identical to single encodes."""
+    cfg = EncodeConfig()
+    # r=2 side-by-side packing: 512-wide images
+    images = [_img(120, 512, s) for s in range(4)]
+    got = batch.encode_grayscale_batch(images, cfg)
+    for i, img in enumerate(images):
+        assert got[i] == pipeline.encode_grayscale(img, cfg), f"512w {i}"
+    # r=1: width a multiple of 1024 (non-64-multiple height -> pad rows)
+    images = [_img(72, 1024, 10 + s) for s in range(2)]
+    got = batch.encode_grayscale_batch(images, cfg)
+    for i, img in enumerate(images):
+        assert got[i] == pipeline.encode_grayscale(img, cfg), f"1024w {i}"
