@@ -56,7 +56,7 @@ def make_image(h: int, w: int, color: bool = False):
     return _np.stack([r.astype(np.uint8), g, b.astype(np.uint8)], axis=-1)
 
 
-def _chain_compute_ms(body, img_dev, reps, k=3):
+def _chain_compute_ms(body, img_dev, reps, k=6):
     """Pure device-compute time of one encode, dispatch-floor-free.
 
     The tunneled transport adds a fixed ~30 ms per dispatch, so a single
