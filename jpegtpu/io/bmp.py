@@ -48,6 +48,12 @@ def decode(data: bytes) -> np.ndarray:
         raise BMPError(f"truncated pixel data: have {len(data)}, need {need}")
 
     raw = np.frombuffer(data, dtype=np.uint8, count=row_stride * height, offset=offset)
+    from .. import native
+
+    if native.available():
+        # C++ single-pass flip + BGR->RGB swizzle (the reference
+        # loader's pixel loop, bmp_handler.c:60-104, at memory speed).
+        return native.bmp_to_rgb(raw, height, width, row_stride, top_down)
     rows = raw.reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
     if not top_down:
         rows = rows[::-1]

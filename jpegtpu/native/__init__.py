@@ -51,6 +51,11 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.c_int, ctypes.c_void_p,
             ]
+            lib.jt_bmp_to_rgb.restype = None
+            lib.jt_bmp_to_rgb.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -98,3 +103,18 @@ def pack_codes(values: np.ndarray, nbits: np.ndarray, pad_ones: bool = True) -> 
         1 if pad_ones else 0, out.ctypes.data,
     )
     return out[:n].tobytes()
+
+
+def bmp_to_rgb(px: np.ndarray, height: int, width: int, row_stride: int,
+               top_down: bool) -> np.ndarray:
+    """Native BMP pixel pass: px is the raw (padded, possibly bottom-up
+    BGR) pixel section as uint8; returns RGB [H, W, 3]."""
+    lib = _load()
+    assert lib is not None
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    out = np.empty((height, width, 3), np.uint8)
+    lib.jt_bmp_to_rgb(
+        px.ctypes.data, height, width, row_stride, int(top_down),
+        out.ctypes.data,
+    )
+    return out

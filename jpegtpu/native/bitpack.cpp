@@ -104,4 +104,22 @@ size_t jt_pack_codes(const uint32_t* values, const uint8_t* nbits,
   return o;
 }
 
+// BMP pixel block -> RGB [H, W, 3]: row flip (bottom-up default) and
+// BGR->RGB swizzle in one pass — the native edition of the reference
+// loader's pixel loop (natural_c/src/io/bmp_handler.c:60-104). Header
+// parsing/validation stays in io/bmp.py (54 fixed bytes); this moves
+// only the O(pixels) work.
+void jt_bmp_to_rgb(const uint8_t* px, int64_t height, int64_t width,
+                   int64_t row_stride, int top_down, uint8_t* out) {
+  for (int64_t y = 0; y < height; ++y) {
+    const uint8_t* src = px + (top_down ? y : height - 1 - y) * row_stride;
+    uint8_t* dst = out + y * width * 3;
+    for (int64_t x = 0; x < width; ++x) {
+      dst[3 * x + 0] = src[3 * x + 2];
+      dst[3 * x + 1] = src[3 * x + 1];
+      dst[3 * x + 2] = src[3 * x + 0];
+    }
+  }
+}
+
 }  // extern "C"

@@ -74,3 +74,30 @@ def test_host_pack_bits_uses_native_transparently():
     finally:
         native.available = orig
     assert a == b
+
+
+def test_native_bmp_decode_matches_numpy():
+    """The C++ BMP pixel pass must equal the numpy slicing path bit for
+    bit (flip + BGR->RGB), including 4-byte row padding."""
+    import numpy as np
+    from jpegtpu import native
+    from jpegtpu.io import bmp
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(5)
+    for h, w in ((7, 5), (16, 33), (1, 1)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = bmp.encode(img)
+        dec = bmp.decode(data)
+        np.testing.assert_array_equal(dec, img)
+        # numpy reference path
+        import struct
+
+        _, _, _, offset = struct.unpack_from("<HIII", data, 0)
+        stride = (w * 3 + 3) & ~3
+        raw = np.frombuffer(data, np.uint8, count=stride * h, offset=offset)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
+        np.testing.assert_array_equal(dec, rows[..., ::-1])
