@@ -1,5 +1,7 @@
-"""Chain-delta stage attribution on real TPU: pure device compute per
-pipeline prefix, dispatch-floor-free (same trick as bench._chain_compute_ms).
+"""Chain-delta stage attribution of the LEGACY staged-XLA paths
+(_gray_levels / _color_block_words) — kept for comparing against the
+all-Pallas default bodies, which tools/raw_micro.py and
+tools/color_micro.py attribute.
 
 Usage: python tools/stage_compute.py [h w reps]
 """
