@@ -73,7 +73,9 @@ def _chain_ms(body, img_dev, reps: int, k: int = 3) -> float:
 def _rows_from_prefixes(prefixes, img_dev, mpix: float, reps: int):
     results, prev = [], 0.0
     for name, body in prefixes:
-        total = _chain_ms(body, img_dev, reps)
+        # clamp to monotone: chain-delta noise at sub-ms stages can
+        # produce a cumulative reading below the previous prefix
+        total = max(_chain_ms(body, img_dev, reps), prev)
         results.append(
             StageTiming(
                 name=name,
