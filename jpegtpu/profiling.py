@@ -81,7 +81,9 @@ def _rows_from_prefixes(prefixes, img_dev, mpix: float, reps: int):
                 name=name,
                 total_ms=round(total, 2),
                 stage_ms=round(total - prev, 2),
-                mpix_per_s=round(mpix / (total / 1000), 1),
+                mpix_per_s=(
+                    round(mpix / (total / 1000), 1) if total > 1e-6 else 0.0
+                ),
             )
         )
         prev = total
