@@ -145,8 +145,24 @@ def _batch_encode_fn(
             rows_per_seg = rows_pp
         else:
             cr = segs.shape[2]
-            segs2 = segs.reshape(g * 8, cr, pallas_concat.LANES)
-            rowbits = jnp.sum(b_m, axis=-1).reshape(b, rows_pp * ncg)
+            if ncg > 1:
+                # flat (g, s) order is (rg, cg, s); the scan needs
+                # (rg, s, cg) — reorder the small per-row segment arrays
+                nrg_pl = g // ncg
+                segs2 = (
+                    segs.reshape(nrg_pl, ncg, 8, cr, pallas_concat.LANES)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(g * 8, cr, pallas_concat.LANES)
+                )
+                rowbits = (
+                    jnp.sum(b_m, axis=-1)
+                    .reshape(nrg_pl, ncg, 8)
+                    .transpose(0, 2, 1)
+                    .reshape(b, rows_pp * ncg)
+                )
+            else:
+                segs2 = segs.reshape(g * 8, cr, pallas_concat.LANES)
+                rowbits = jnp.sum(b_m, axis=-1).reshape(b, rows_pp * ncg)
             rows_per_seg = rows_pp * ncg
 
         inc = jax.vmap(cumsum_1d)(rowbits)

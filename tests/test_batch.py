@@ -106,3 +106,8 @@ def test_batch_raw_plane_parity():
     got = batch.encode_grayscale_batch(images, cfg)
     for i, img in enumerate(images):
         assert got[i] == pipeline.encode_grayscale(img, cfg), f"1024w {i}"
+    # r=1, ncg=2: 2048-wide images (the (rg, s, cg) segment-order case)
+    images = [_img(64, 2048, 20 + s) for s in range(2)]
+    got = batch.encode_grayscale_batch(images, cfg)
+    for i, img in enumerate(images):
+        assert got[i] == pipeline.encode_grayscale(img, cfg), f"2048w {i}"
