@@ -111,3 +111,15 @@ def test_batch_raw_plane_parity():
     got = batch.encode_grayscale_batch(images, cfg)
     for i, img in enumerate(images):
         assert got[i] == pipeline.encode_grayscale(img, cfg), f"2048w {i}"
+
+
+def test_batch_raw_plane_parity_over_mesh():
+    """The packed-plane raw path inside shard_map (per-shard r-up
+    packing) must match single-image encodes."""
+    from jpegtpu.parallel.sharding import make_mesh
+
+    cfg = EncodeConfig()
+    images = [_img(64, 512, 30 + s) for s in range(16)]
+    got = batch.encode_grayscale_batch(images, cfg, mesh=make_mesh(8))
+    for i, img in enumerate(images):
+        assert got[i] == pipeline.encode_grayscale(img, cfg), f"mesh {i}"
