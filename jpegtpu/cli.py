@@ -26,6 +26,7 @@ def _cmd_encode(args) -> int:
         subsampling=args.subsampling,
         restart_interval=args.restart_interval,
         entropy=args.entropy,
+        optimize_huffman=getattr(args, "optimize_huffman", False),
     )
     t0 = time.perf_counter()
     if getattr(args, "sharded", False):
@@ -179,6 +180,10 @@ def main(argv=None) -> int:
     )
     enc.add_argument("--restart-interval", type=int, default=0)
     enc.add_argument("--entropy", choices=["device", "host"], default="device")
+    enc.add_argument(
+        "--optimize-huffman", action="store_true",
+        help="2-pass optimal Huffman tables (smaller files, host entropy)",
+    )
     enc.add_argument(
         "--sharded", action="store_true",
         help="shard MCU rows across all visible devices (restart-marker "

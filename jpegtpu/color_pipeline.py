@@ -616,6 +616,30 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
     if (ph, pw) != (h, w):
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
 
+    if config.optimize_huffman:
+        # 2-pass optimal tables for the interleaved scan (see
+        # pipeline.encode_grayscale): device transform, host entropy.
+        from . import tables
+
+        zz, table_sel, comp_id = color_coefficients(image, config)
+        segment_ids = None
+        if config.restart_interval:
+            mcu_of_slot = (
+                np.arange(zz.shape[0]) // slots_per_mcu(config.subsampling)
+            )
+            segment_ids = mcu_of_slot // config.restart_interval
+        tsel = table_sel.astype(np.int64)
+        freqs = entropy_host.symbol_frequencies(
+            zz, table_sel=tsel, comp_id=comp_id, segment_ids=segment_ids
+        )
+        specs = tables.optimal_specs_from_frequencies(freqs)
+        segments = entropy_host.encode_scan(
+            zz, table_sel=tsel, comp_id=comp_id, segment_ids=segment_ids,
+            pad_ones=config.pad_ones,
+            luts=tables.huffman_luts_from_specs(specs),
+        )
+        return jfif.assemble(w, h, config, segments, huffman_specs=specs)
+
     if config.entropy == "device" and not config.restart_interval:
         from . import pipeline
 

@@ -34,6 +34,13 @@ class EncodeConfig:
       entropy: "device" runs RLE+Huffman+bit packing on TPU (entropy.device)
         so only compressed bytes cross the host boundary; "host" uses the
         vectorized numpy coder (entropy.host).
+      optimize_huffman: 2-pass optimal Huffman tables (the libjpeg
+        optimize_coding capability, which the reference's hardwired
+        Annex-K tables forgo): first pass gathers per-class symbol
+        histograms, package-merge builds length-limited optimal specs,
+        and the scan + DHT segments use them. Implies the host entropy
+        coder (custom tables are runtime data; the fused device kernels
+        bake tables in as compile-time constants).
       capacity_words_per_block: static per-block output capacity (uint32
         words) for the device packer. The default (8 words = 4 bpp) covers
         photographic content with wide margin; overflow is detected and the
@@ -49,6 +56,7 @@ class EncodeConfig:
     entropy: str = "device"
     capacity_words_per_block: int = 8
     stuff: str = "host"
+    optimize_huffman: bool = False
 
     def __post_init__(self):
         if not 1 <= self.quality <= 100:

@@ -146,6 +146,34 @@ def symbolize(
     return symbols, amplitudes, amp_bits, is_dc, block_of_symbol
 
 
+def symbol_frequencies(
+    zz: np.ndarray,
+    table_sel: Optional[np.ndarray] = None,
+    comp_id: Optional[np.ndarray] = None,
+    segment_ids: Optional[np.ndarray] = None,
+) -> dict:
+    """Per-class 256-bin histograms of the scan's Huffman symbols — the
+    first pass of 2-pass optimal-table coding. Returns the same keys as
+    tables.huffman_luts(): 'dc_lum', 'ac_lum', 'dc_chrom', 'ac_chrom'."""
+    zz = np.asarray(zz)
+    nb = zz.shape[0]
+    symbols, _amp, _bits, is_dc, block_of = symbolize(zz, comp_id, segment_ids)
+    sel = (
+        np.zeros(nb, dtype=np.int64)
+        if table_sel is None
+        else np.asarray(table_sel).astype(np.int64)
+    )
+    ssel = sel[block_of]
+    out = {}
+    for dc_flag, cls in ((True, "dc"), (False, "ac")):
+        for tsel, kind in ((0, "lum"), (1, "chrom")):
+            m = (is_dc == dc_flag) & (ssel == tsel)
+            out[f"{cls}_{kind}"] = np.bincount(
+                symbols[m].astype(np.int64), minlength=256
+            )
+    return out
+
+
 def pack_bits(values: np.ndarray, lengths: np.ndarray, pad_ones: bool = True) -> bytes:
     """MSB-first concatenation of variable-length codes, with byte stuffing.
 
@@ -201,6 +229,7 @@ def encode_scan(
     comp_id: Optional[np.ndarray] = None,
     segment_ids: Optional[np.ndarray] = None,
     pad_ones: bool = True,
+    luts: Optional[dict] = None,
 ) -> list[bytes]:
     """Full entropy encode of a scan: [nb, 64] zigzag coeffs -> entropy
     segment byte strings (one per restart segment, each independently
@@ -208,13 +237,17 @@ def encode_scan(
 
     table_sel: [nb] 0 = luminance tables, 1 = chrominance. None = all 0.
     comp_id / segment_ids: see dc_differences.
+    luts: optional custom (codes, lengths) LUT dict (the keys of
+      tables.huffman_luts()) — the second pass of 2-pass optimal-table
+      coding (tables.optimal_specs_from_frequencies).
     """
     zz = np.asarray(zz)
     nb = zz.shape[0]
     symbols, amplitudes, amp_bits, is_dc, block_of = symbolize(
         zz, comp_id, segment_ids
     )
-    luts = tables.huffman_luts()
+    if luts is None:
+        luts = tables.huffman_luts()
     sel = np.zeros(nb, dtype=np.int64) if table_sel is None else table_sel.astype(np.int64)
     sym_sel = sel[block_of]
 

@@ -72,18 +72,31 @@ def sos(components: Sequence[tuple]) -> bytes:
     return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
 
-def grayscale_headers(width: int, height: int, config: EncodeConfig) -> bytes:
+def _spec(huffman_specs, key, default_bits, default_values):
+    if huffman_specs and key in huffman_specs:
+        return huffman_specs[key]
+    return default_bits, default_values
+
+
+def grayscale_headers(
+    width: int, height: int, config: EncodeConfig, huffman_specs=None
+) -> bytes:
     """All segments up to (and including) SOS for a 1-component scan.
 
     Byte-parity with the reference's header block at Q50
-    (jpeg_handler.c:220-233)."""
+    (jpeg_handler.c:220-233). huffman_specs: optional per-class
+    (bits, values) overrides (2-pass optimal tables)."""
     out = [
         SOI,
         app0(),
         dqt(config.luma_quant, 0),
         sof0(width, height, [(1, 1, 1, 0)]),
-        dht(tables.STD_DC_LUMINANCE_BITS, tables.STD_DC_LUMINANCE_VALUES, 0, 0),
-        dht(tables.STD_AC_LUMINANCE_BITS, tables.STD_AC_LUMINANCE_VALUES, 1, 0),
+        dht(*_spec(huffman_specs, "dc_lum",
+                   tables.STD_DC_LUMINANCE_BITS,
+                   tables.STD_DC_LUMINANCE_VALUES), 0, 0),
+        dht(*_spec(huffman_specs, "ac_lum",
+                   tables.STD_AC_LUMINANCE_BITS,
+                   tables.STD_AC_LUMINANCE_VALUES), 1, 0),
     ]
     if config.restart_interval:
         out.append(dri(config.restart_interval))
@@ -91,7 +104,9 @@ def grayscale_headers(width: int, height: int, config: EncodeConfig) -> bytes:
     return b"".join(out)
 
 
-def color_headers(width: int, height: int, config: EncodeConfig) -> bytes:
+def color_headers(
+    width: int, height: int, config: EncodeConfig, huffman_specs=None
+) -> bytes:
     """Segments up to SOS for a 3-component YCbCr scan (420/422/444)."""
     ysamp = {"420": (2, 2), "422": (2, 1)}.get(config.subsampling, (1, 1))
     out = [
@@ -104,10 +119,18 @@ def color_headers(width: int, height: int, config: EncodeConfig) -> bytes:
             height,
             [(1, ysamp[0], ysamp[1], 0), (2, 1, 1, 1), (3, 1, 1, 1)],
         ),
-        dht(tables.STD_DC_LUMINANCE_BITS, tables.STD_DC_LUMINANCE_VALUES, 0, 0),
-        dht(tables.STD_AC_LUMINANCE_BITS, tables.STD_AC_LUMINANCE_VALUES, 1, 0),
-        dht(tables.STD_DC_CHROMINANCE_BITS, tables.STD_DC_CHROMINANCE_VALUES, 0, 1),
-        dht(tables.STD_AC_CHROMINANCE_BITS, tables.STD_AC_CHROMINANCE_VALUES, 1, 1),
+        dht(*_spec(huffman_specs, "dc_lum",
+                   tables.STD_DC_LUMINANCE_BITS,
+                   tables.STD_DC_LUMINANCE_VALUES), 0, 0),
+        dht(*_spec(huffman_specs, "ac_lum",
+                   tables.STD_AC_LUMINANCE_BITS,
+                   tables.STD_AC_LUMINANCE_VALUES), 1, 0),
+        dht(*_spec(huffman_specs, "dc_chrom",
+                   tables.STD_DC_CHROMINANCE_BITS,
+                   tables.STD_DC_CHROMINANCE_VALUES), 0, 1),
+        dht(*_spec(huffman_specs, "ac_chrom",
+                   tables.STD_AC_CHROMINANCE_BITS,
+                   tables.STD_AC_CHROMINANCE_VALUES), 1, 1),
     ]
     if config.restart_interval:
         out.append(dri(config.restart_interval))
@@ -120,6 +143,7 @@ def assemble(
     height: int,
     config: EncodeConfig,
     entropy_segments: Sequence[bytes],
+    huffman_specs=None,
 ) -> bytes:
     """Full JFIF file: headers + RST-delimited entropy segments + EOI.
 
@@ -130,9 +154,9 @@ def assemble(
     if len(entropy_segments) > 1 and not config.restart_interval:
         raise ValueError("multiple entropy segments require a restart_interval")
     if config.n_components == 1:
-        head = grayscale_headers(width, height, config)
+        head = grayscale_headers(width, height, config, huffman_specs)
     else:
-        head = color_headers(width, height, config)
+        head = color_headers(width, height, config, huffman_specs)
     parts = [head]
     for i, seg in enumerate(entropy_segments):
         if i:

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import tables
 from .config import EncodeConfig
 from .io import bmp, jfif
 from .entropy import device as entropy_device
@@ -200,6 +201,22 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     (the multi-segment device path lives in jpegtpu.parallel)."""
     config = config or EncodeConfig()
     h, w = image.shape[:2]
+    if config.optimize_huffman:
+        # 2-pass optimal tables: device transform, host entropy (custom
+        # tables are runtime data; the device kernels bake tables in).
+        zz = grayscale_coefficients(image, config)
+        seg_ids = (
+            np.arange(zz.shape[0]) // config.restart_interval
+            if config.restart_interval
+            else None
+        )
+        freqs = entropy_host.symbol_frequencies(zz, segment_ids=seg_ids)
+        specs = tables.optimal_specs_from_frequencies(freqs)
+        segments = entropy_host.encode_scan(
+            zz, segment_ids=seg_ids, pad_ones=config.pad_ones,
+            luts=tables.huffman_luts_from_specs(specs),
+        )
+        return jfif.assemble(w, h, config, segments, huffman_specs=specs)
     if config.entropy == "device":
         if not config.restart_interval:
             seg = _encode_segment_device(image, config)

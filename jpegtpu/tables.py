@@ -210,6 +210,66 @@ def huffman_luts():
     }
 
 
+def _package_merge(items: list, max_len: int) -> dict:
+    """Optimal length-limited code lengths (package-merge).
+
+    items: [(freq, symbol)]. Returns {symbol: length} with every length
+    <= max_len, minimizing sum(freq * length)."""
+    n = len(items)
+    base = sorted([(w, (s,)) for w, s in items])
+    plist = list(base)
+    for _ in range(max_len - 1):
+        packaged = [
+            (plist[i][0] + plist[i + 1][0], plist[i][1] + plist[i + 1][1])
+            for i in range(0, len(plist) - 1, 2)
+        ]
+        plist = sorted(base + packaged)
+    lengths = {s: 0 for _, s in items}
+    for _w, ss in plist[: 2 * (n - 1)]:
+        for s in ss:
+            lengths[s] += 1
+    return lengths
+
+
+def optimal_spec(freqs: np.ndarray, max_len: int = 16):
+    """Optimal T.81-legal Huffman spec (bits[16], values) for a 256-bin
+    symbol frequency histogram — the 2-pass table optimization the
+    reference's fixed Annex-K tables forgo (jpeg_tables.c hardwires them;
+    this is the libjpeg `optimize_coding` capability, built on
+    package-merge instead of the K.2 heuristic).
+
+    A reserved dummy symbol with the minimum weight is included and then
+    dropped: it always lands as the LAST code of the deepest level in
+    canonical order, so the all-ones codeword stays unassigned as T.81
+    requires (C.2)."""
+    f = np.asarray(freqs, dtype=np.int64)
+    syms = np.nonzero(f)[0]
+    if syms.size == 0:
+        return np.zeros(16, np.uint8), np.zeros(0, np.uint8)
+    items = [(int(f[s]), int(s)) for s in syms] + [(1, 256)]
+    if len(items) > (1 << max_len):
+        raise ValueError("alphabet exceeds code space")
+    lengths = _package_merge(items, max_len)
+    pairs = sorted((ln, s) for s, ln in lengths.items() if s != 256)
+    bits = np.zeros(16, np.uint8)
+    for ln, _s in pairs:
+        bits[ln - 1] += 1
+    values = np.array([s for _ln, s in pairs], np.uint8)
+    return bits, values
+
+
+def optimal_specs_from_frequencies(freqs: dict, max_len: int = 16) -> dict:
+    """Per-class optimal specs: {'dc_lum': (bits, values), ...} from the
+    histograms entropy.host.symbol_frequencies returns."""
+    return {k: optimal_spec(v, max_len) for k, v in freqs.items()}
+
+
+def huffman_luts_from_specs(specs: dict) -> dict:
+    """Dense (codes, lengths) LUTs from per-class (bits, values) specs —
+    the custom-table edition of huffman_luts()."""
+    return {k: canonical_codes(b, v) for k, (b, v) in specs.items()}
+
+
 # ---------------------------------------------------------------------------
 # DCT basis
 # ---------------------------------------------------------------------------
