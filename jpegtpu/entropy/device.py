@@ -560,3 +560,122 @@ def encode_scan_device(
         return words, total_bits, total_bits > capacity_words * 32
     out, nbytes = stuff_bytes_device(words, total_bits)
     return out, nbytes, total_bits > capacity_words * 32
+
+
+def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
+    """Pass 1 of 2-pass optimal Huffman coding, ON DEVICE: [nb, 64]
+    zigzag levels -> per-class symbol count tensors; only ~2 KB crosses
+    the host boundary (vs ~4 B/pixel of coefficients for a host-side
+    first pass). Returns a dict of device arrays:
+      dc12 [2, 12] f32   — DC size-category counts per table class,
+      ac   [2, 16, 11] f32 — AC (run, size) counts (size >= 1),
+      zrl  [2] i32, eob [2] i32.
+    Assemble into 256-bin histograms with assemble_histograms (host).
+    Counts are f32-exact up to 2^24 symbols per class — far above any
+    single-scan block count this encoder accepts.
+    """
+    zz = zz.astype(jnp.int32)
+    nb = zz.shape[0]
+    if dc_diff is None:
+        dc_diff = dc_differences(zz[:, 0], seg_len)
+    sel = (
+        jnp.zeros(nb, jnp.int32)
+        if table_sel is None
+        else jnp.asarray(table_sel).astype(jnp.int32)
+    )
+
+    dsize = 32 - jax.lax.clz(jnp.abs(dc_diff))  # clz(0)=32 -> size 0
+    d_oh = (dsize[:, None] == jnp.arange(12)[None, :]).astype(jnp.float32)
+    sel_oh = (sel[:, None] == jnp.arange(2)[None, :]).astype(jnp.float32)
+    dc12 = jnp.einsum("nt,ns->ts", sel_oh, d_oh)
+
+    ac = zz[:, 1:]
+    nz = ac != 0
+    lanes = jnp.arange(1, 64)
+    last_nz = jnp.max(jnp.where(nz, lanes[None, :], 0), axis=1)
+    pos = jnp.where(nz, lanes[None, :], 0)
+    prev = jax.lax.cummax(
+        jnp.concatenate([jnp.zeros((nb, 1), jnp.int32), pos], axis=1),
+        axis=1,
+    )[:, :-1]
+    run = lanes[None, :] - prev - 1
+    emit = nz & (lanes[None, :] <= last_nz[:, None])
+    zrl_cnt = jnp.where(emit, run >> 4, 0)
+    rem = run & 15
+    asize = 32 - jax.lax.clz(jnp.abs(ac))
+    eob = last_nz < 63
+
+    zrl = jnp.stack(
+        [jnp.sum(jnp.where(sel[:, None] == t, zrl_cnt, 0)) for t in (0, 1)]
+    ).astype(jnp.int32)
+    eobc = jnp.stack(
+        [jnp.sum((eob & (sel == t)).astype(jnp.int32)) for t in (0, 1)]
+    )
+
+    # AC (run, size) counts via chunked one-hot contractions: the
+    # [C*63, 16] x [C*63, 11] einsum materializes ~20 MB per chunk
+    # instead of an [n, 256] one-hot.
+    c = 2048
+    npad = -(-nb // c) * c
+    rem_p = jnp.pad(rem, ((0, npad - nb), (0, 0)))
+    size_p = jnp.pad(asize, ((0, npad - nb), (0, 0)))
+    e0 = jnp.pad(emit & (sel == 0)[:, None], ((0, npad - nb), (0, 0)))
+    e1 = jnp.pad(emit & (sel == 1)[:, None], ((0, npad - nb), (0, 0)))
+    steps = npad // c
+    r16 = jnp.arange(16)
+    s11 = jnp.arange(11)
+
+    def step(carry, xs):
+        h0, h1 = carry
+        remc, sizec, m0, m1 = xs
+        n = c * 63
+        r_oh = (remc.reshape(n, 1) == r16[None, :]).astype(jnp.float32)
+        s_oh = (sizec.reshape(n, 1) == s11[None, :]).astype(jnp.float32)
+        h0 = h0 + jnp.einsum(
+            "nr,ns->rs", r_oh * m0.reshape(n, 1).astype(jnp.float32), s_oh
+        )
+        h1 = h1 + jnp.einsum(
+            "nr,ns->rs", r_oh * m1.reshape(n, 1).astype(jnp.float32), s_oh
+        )
+        return (h0, h1), None
+
+    xs = (
+        rem_p.reshape(steps, c, 63),
+        size_p.reshape(steps, c, 63),
+        e0.reshape(steps, c, 63),
+        e1.reshape(steps, c, 63),
+    )
+    (h0, h1), _ = jax.lax.scan(
+        step, (jnp.zeros((16, 11), jnp.float32),) * 2, xs
+    )
+    return {
+        "dc12": dc12,
+        "ac": jnp.stack([h0, h1]),
+        "zrl": zrl,
+        "eob": eobc,
+    }
+
+
+def assemble_histograms(stats: dict) -> dict:
+    """Host finish for symbol_histograms: device count tensors ->
+    {'dc_lum': [256] i64, 'ac_lum': ..., 'dc_chrom': ..., 'ac_chrom': ...}
+    in the layout tables.optimal_specs_from_frequencies consumes."""
+    import numpy as np
+
+    dc12 = np.asarray(stats["dc12"]).astype(np.int64)
+    ac = np.asarray(stats["ac"]).astype(np.int64)
+    zrl = np.asarray(stats["zrl"]).astype(np.int64)
+    eob = np.asarray(stats["eob"]).astype(np.int64)
+    out = {}
+    for t, kind in ((0, "lum"), (1, "chrom")):
+        d = np.zeros(256, np.int64)
+        d[:12] = dc12[t]
+        a = np.zeros(256, np.int64)
+        for r in range(16):
+            for s in range(1, 11):
+                a[(r << 4) | s] = ac[t, r, s]
+        a[0xF0] = zrl[t]
+        a[0x00] = eob[t]
+        out[f"dc_{kind}"] = d
+        out[f"ac_{kind}"] = a
+    return out

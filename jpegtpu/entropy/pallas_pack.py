@@ -90,12 +90,58 @@ def _pack_kernel(w_ref, l_ref, out_ref, bits_ref, *, cap: int, n_elem: int):
 
 
 def _select_cascade(idx, consts):
-    """Vectorized lookup of a small static table: out[lane] = consts[idx[lane]]
-    via a chain of compare-selects (no gather exists on the VPU)."""
-    out = jnp.zeros_like(idx, dtype=jnp.int32) + int(consts[0])
+    """Vectorized lookup of a small table: out[lane] = consts[idx[lane]]
+    via a chain of compare-selects (no gather exists on the VPU).
+    Entries may be python ints (compile-time tables) or loop-invariant
+    scalars read from SMEM (runtime tables) — same vector op count."""
+    out = jnp.zeros_like(idx, dtype=jnp.int32) + consts[0]
     for k in range(1, len(consts)):
-        out = jnp.where(idx == k, int(consts[k]), out)
+        out = jnp.where(idx == k, consts[k], out)
     return out
+
+
+def pack_runtime_tables(dc_codes, dc_lens, ac_codes, ac_lens) -> "np.ndarray":
+    """Flatten one table class's LUTs into the [192] i32 layout the
+    runtime-table kernel reads: ac packed (run, size) [176], dc packed
+    [12], zrl code/len, eob code/len — each entry (code << 6) | len.
+    Lets 2-pass OPTIMAL tables drive the fused kernel without a
+    recompile (tables are data, not compile-time constants)."""
+    import numpy as np
+
+    out = np.zeros(192, np.int32)
+    for r in range(16):
+        for sz in range(11):
+            sym = (r << 4) | sz
+            out[r * 11 + sz] = (int(ac_codes[sym]) << 6) | int(ac_lens[sym])
+    for sz in range(12):
+        out[176 + sz] = (int(dc_codes[sz]) << 6) | int(dc_lens[sz])
+    out[188] = int(ac_codes[0xF0])
+    out[189] = int(ac_lens[0xF0])
+    out[190] = int(ac_codes[0x00])
+    out[191] = int(ac_lens[0x00])
+    return out
+
+
+def _encode_kernel_rt(tab_ref, zz_ref, dcd_ref, out_ref, bits_ref, *,
+                      cap: int):
+    """Runtime-table edition of _encode_kernel: the 192 packed table
+    entries load ONCE per grid step from SMEM into loop-invariant
+    scalars, so the select cascades cost exactly what the
+    compile-time-constant version does."""
+    ac = [[tab_ref[r * 11 + sz] for sz in range(11)] for r in range(16)]
+    dc_pack = [tab_ref[176 + sz] for sz in range(12)]
+    tables_pack = (
+        dc_pack,
+        ac,
+        tab_ref[188],
+        tab_ref[189],
+        tab_ref[190],
+        tab_ref[191],
+    )
+    _encode_kernel(
+        zz_ref, dcd_ref, out_ref, bits_ref, cap=cap,
+        tables_pack=tables_pack,
+    )
 
 
 def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
@@ -156,8 +202,8 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
     def code_for(run, size, packed):
         """(run, size) -> packed (code << 6 | len) via the select cascade."""
         out = jnp.zeros(shp, jnp.int32)
-        for r in range(packed.shape[0]):
-            row = _select_cascade(size, packed[r])
+        for r in range(len(packed)):
+            row = _select_cascade(size, list(packed[r]))
             out = jnp.where(run == r, row, out)
         return out
 
@@ -183,12 +229,13 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         state, (dcode << dsize.astype(jnp.uint32)) | damp, dlen + dsize
     )
 
-    zrl_val = jnp.full(shp, zrl_code, jnp.uint32)
-    zl = jnp.full(shp, zrl_len, jnp.int32)
-    zrl2_val = jnp.full(
-        shp, (zrl_code << zrl_len) | zrl_code, jnp.uint32
+    zrl_val = jnp.full(shp, 0, jnp.uint32) + jnp.uint32(zrl_code)
+    zl = jnp.full(shp, 0, jnp.int32) + zrl_len
+    zrl2_val = (
+        jnp.full(shp, 0, jnp.uint32)
+        + (jnp.uint32(zrl_code) << jnp.uint32(zrl_len)) | jnp.uint32(zrl_code)
     )
-    zl2 = jnp.full(shp, 2 * zrl_len, jnp.int32)
+    zl2 = jnp.full(shp, 0, jnp.int32) + 2 * zrl_len
 
     def body(k, carry, max_zrl):
         """max_zrl bounds the possible ZRL emissions at element k
@@ -246,8 +293,8 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
     eobm = run > 0
     state = append(
         state,
-        jnp.where(eobm, jnp.uint32(eob_code), 0),
-        jnp.where(eobm, eob_len, 0),
+        jnp.where(eobm, jnp.uint32(0) + jnp.uint32(eob_code), 0),
+        jnp.where(eobm, jnp.int32(0) + eob_len, 0),
     )
 
     acc, cnt, widx, frame = state
@@ -288,8 +335,11 @@ def _kernel_tables(table: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "table", "interpret", "raw"))
+@functools.partial(
+    jax.jit, static_argnames=("cap", "table", "interpret", "raw")
+)
 def encode_blocks_pallas(zz, dc_diff, cap: int = 8, table: int = 0,
+                         custom_tables=None,
                          interpret: bool = False, raw: bool = False):
     """Fused symbolize+pack: [nb, 64] zigzag levels (+ [nb] DC diffs) ->
     (words [cap, nb] u32 transposed, bits [nb] i32, overflow) for a
@@ -320,12 +370,23 @@ def encode_blocks_pallas(zz, dc_diff, cap: int = 8, table: int = 0,
         zzt = zz.T.reshape(64, g, SUBLANES, LANES).transpose(1, 0, 2, 3)
         dct_ = dc_diff.reshape(g, SUBLANES, LANES)[:, None]
 
-    tabs = _kernel_tables(table)
+    if custom_tables is None:
+        tabs = _kernel_tables(table)
+        kern = functools.partial(_encode_kernel, cap=cap, tables_pack=tabs)
+        extra_in, extra_specs = (), ()
+    else:
+        kern = functools.partial(_encode_kernel_rt, cap=cap)
+        extra_in = (custom_tables.astype(jnp.int32),)
+        extra_specs = (
+            pl.BlockSpec((192,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+        )
 
     out, bits = pl.pallas_call(
-        functools.partial(_encode_kernel, cap=cap, tables_pack=tabs),
+        kern,
         grid=(g,),
         in_specs=[
+            *extra_specs,
             pl.BlockSpec((None, 64, SUBLANES, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, SUBLANES, LANES), lambda i: (i, 0, 0, 0),
@@ -342,7 +403,7 @@ def encode_blocks_pallas(zz, dc_diff, cap: int = 8, table: int = 0,
             jax.ShapeDtypeStruct((g, 1, SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(zzt, dct_)
+    )(*extra_in, zzt, dct_)
 
     if raw:
         bits_raw = bits[:, 0]

@@ -98,16 +98,22 @@ def _encode_gray_device(
 
 
 def gray_encode_body(img, cfg: EncodeConfig, is_rgb: bool,
-                     cap_words_per_block: int, stuff: bool):
+                     cap_words_per_block: int, stuff: bool,
+                     custom_tables=None):
     """Traceable full grayscale encode body (compose under jit freely —
     e.g. the bench chains K of these in one program to measure pure
-    device compute without the per-dispatch transport floor)."""
+    device compute without the per-dispatch transport floor).
+    custom_tables: optional [192] i32 runtime Huffman tables
+    (pallas_pack.pack_runtime_tables) — 2-pass optimal coding at device
+    speed, no recompile per table set."""
     ph, pw = img.shape[:2]
     nb = (ph // 8) * (pw // 8)
     if cfg.dct_dtype != "int32" and cap_words_per_block <= 16:
         return _gray_encode_body_raw(
-            img, cfg, is_rgb, cap_words_per_block, stuff
+            img, cfg, is_rgb, cap_words_per_block, stuff,
+            custom_tables=custom_tables,
         )
+    assert custom_tables is None, "runtime tables need the raw path"
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     zz = _gray_levels(
@@ -122,7 +128,7 @@ def gray_encode_body(img, cfg: EncodeConfig, is_rgb: bool,
 
 
 def _gray_encode_body_raw(img, cfg: EncodeConfig, is_rgb: bool,
-                          cap: int, stuff: bool):
+                          cap: int, stuff: bool, custom_tables=None):
     """All-Pallas grayscale body: the fused transform kernel emits
     quantized zigzag levels directly in the entropy kernel's tiling
     (ops.pallas_transform), the fused symbolize+pack kernel consumes them
@@ -149,7 +155,8 @@ def _gray_encode_body_raw(img, cfg: EncodeConfig, is_rgb: bool,
     dcd = entropy_device.dc_differences(dc_scan, 0)
     dcd_raw = pt.scan_to_raw(dcd, nbh, nbw, ncg)
     w_raw, b_raw, _ = pallas_pack.encode_blocks_pallas(
-        raw, dcd_raw, cap=cap, table=0, interpret=interp, raw=True
+        raw, dcd_raw, cap=cap, table=0, custom_tables=custom_tables,
+        interpret=interp, raw=True
     )
     if pallas_concat.fits_vmem(nbh, nbw, cap, ncg):
         m = pallas_concat.valid_mask(nbh, nbw, ncg, w_raw.shape[0])
@@ -202,8 +209,10 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     config = config or EncodeConfig()
     h, w = image.shape[:2]
     if config.optimize_huffman:
-        # 2-pass optimal tables: device transform, host entropy (custom
-        # tables are runtime data; the device kernels bake tables in).
+        if (config.entropy == "device" and not config.restart_interval
+                and config.dct_dtype != "int32"):
+            return _encode_grayscale_optimized_device(image, config)
+        # host 2-pass (restart intervals, int32 mode, entropy="host")
         zz = grayscale_coefficients(image, config)
         seg_ids = (
             np.arange(zz.shape[0]) // config.restart_interval
@@ -414,6 +423,100 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
         elif not bool(overflowed):
             return fetch_prefix(out, count).tobytes()
     raise AssertionError("worst-case entropy capacity overflowed (bug)")
+
+
+@functools.lru_cache(maxsize=32)
+def _gray_stats_fn(ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool):
+    """Jitted pass 1 of device 2-pass optimal coding: image -> symbol
+    count tensors (entropy_device.symbol_histograms)."""
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
+
+    @jax.jit
+    def fn(img):
+        zz = _gray_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
+        ).astype(jnp.int32)
+        return entropy_device.symbol_histograms(zz)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_gray_device_rt(
+    ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool,
+    cap_words_per_block: int, stuff: bool,
+):
+    """Jitted full device encode with RUNTIME Huffman tables (one
+    compiled program serves every table set)."""
+
+    @jax.jit
+    def fn(img, tabs):
+        return gray_encode_body(
+            img, cfg, is_rgb, cap_words_per_block, stuff,
+            custom_tables=tabs,
+        )
+
+    return fn
+
+
+def _encode_grayscale_optimized_device(
+    image: np.ndarray, config: EncodeConfig
+) -> bytes:
+    """Device-speed 2-pass optimal-table encode: pass 1 jit gathers
+    per-class symbol histograms (~2 KB download), the host builds
+    package-merge tables, pass 2 jit re-encodes with the tables as
+    RUNTIME data — two dispatches total, no coefficient download."""
+    from .entropy import pallas_pack
+
+    is_rgb = image.ndim == 3
+    h, w = image.shape[:2]
+    ph, pw = blocks.padded_dims(h, w)
+    if (ph, pw) != (h, w):
+        pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
+        image = np.pad(image, pad, mode="edge")
+    img_dev = jnp.asarray(image)
+    stats = jax.device_get(_gray_stats_fn(ph, pw, config, is_rgb)(img_dev))
+    freqs = entropy_device.assemble_histograms(stats)
+    specs = {
+        k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")
+    }
+    luts = tables.huffman_luts_from_specs(specs)
+    tabs = jnp.asarray(
+        pallas_pack.pack_runtime_tables(
+            luts["dc_lum"][0], luts["dc_lum"][1],
+            luts["ac_lum"][0], luts["ac_lum"][1],
+        )
+    )
+    host_stuff = config.stuff == "host" and _native_available()
+    for cap in capacity_ladder(config):
+        if cap > 16:
+            break  # runtime tables ride the raw path only
+        fn = _encode_gray_device_rt(
+            ph, pw, config, is_rgb, cap, not host_stuff
+        )
+        out, count, overflowed = fn(img_dev, tabs)
+        if host_stuff:
+            from . import native
+
+            words, total_bits = fetch_stream_words(
+                out, count, overflowed, spec_key=(ph, pw, config, "opt")
+            )
+            if words is not None:
+                seg = native.words_to_stuffed(words, total_bits)
+                return jfif.assemble(w, h, config, [seg],
+                                     huffman_specs=specs)
+        elif not bool(overflowed):
+            seg = fetch_prefix(out, count).tobytes()
+            return jfif.assemble(w, h, config, [seg], huffman_specs=specs)
+    # pathological content past the raw-path capacity: host 2-pass
+    cfg_host = config
+    zz = grayscale_coefficients(image, cfg_host)
+    segments = entropy_host.encode_scan(
+        zz, pad_ones=config.pad_ones,
+        luts=tables.huffman_luts_from_specs(specs),
+    )
+    return jfif.assemble(w, h, config, segments, huffman_specs=specs)
 
 
 def _native_available() -> bool:

@@ -82,3 +82,14 @@ def test_optimal_tables_with_restart():
     a = np.asarray(Image.open(io.BytesIO(plain)).convert("L"))
     b = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_device_two_pass_matches_host_two_pass():
+    """The device 2-pass (on-device histograms + runtime-table fused
+    kernel) must produce byte-identical files to the host 2-pass."""
+    img = _img(96, 120, seed=3)
+    dev = pipeline.encode_grayscale(img, EncodeConfig(optimize_huffman=True))
+    host = pipeline.encode_grayscale(
+        img, EncodeConfig(optimize_huffman=True, entropy="host")
+    )
+    assert dev == host
