@@ -406,7 +406,8 @@ def _slot_planes(yplane, subsampling: str):
     return yplane[None]
 
 
-def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool):
+def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
+                           custom_tables=None):
     """All-Pallas color body, NATURAL layouts end to end: the full-res Y
     plane and the (stacked) chroma planes go straight through the fused
     transform kernel, the pre-tiled fused symbolize+pack, and the
@@ -472,11 +473,15 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool):
     dcd_c_raw = jnp.stack(
         [pt.scan_to_raw(dcd_c[i], nmch, nmcw, ncg) for i in range(2)]
     ).reshape(2 * g, pt.SUBLANES, pt.LANES)
+    ct_y = None if custom_tables is None else custom_tables[0]
+    ct_c = None if custom_tables is None else custom_tables[1]
     w_y, b_y, _ = pallas_pack.encode_blocks_pallas(
-        raw_y, dcd_y_raw, cap=cap, table=0, interpret=interp, raw=True
+        raw_y, dcd_y_raw, cap=cap, table=0, custom_tables=ct_y,
+        interpret=interp, raw=True
     )
     w_c, b_c, _ = pallas_pack.encode_blocks_pallas(
-        raw_c, dcd_c_raw, cap=cap, table=1, interpret=interp, raw=True
+        raw_c, dcd_c_raw, cap=cap, table=1, custom_tables=ct_c,
+        interpret=interp, raw=True
     )
     # Pad-lane blocks are zero pixels with dcd forced 0 -> tiny streams,
     # so the raw bits are safe for the overflow check without masking.
@@ -507,13 +512,19 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool):
 
 
 def color_encode_body(img, cfg: EncodeConfig, cap_words_per_block: int,
-                      stuff: bool):
+                      stuff: bool, custom_tables=None):
     """Traceable full color encode body (gather-free fused path; compose
-    under jit freely). img: padded PLANAR RGB [3, PH, PW]."""
+    under jit freely). img: padded PLANAR RGB [3, PH, PW].
+    custom_tables: optional ([192] i32 luma, [192] i32 chroma) runtime
+    Huffman tables (pallas_pack.pack_runtime_tables)."""
     from .entropy import treepack
 
     if cfg.dct_dtype != "int32" and cap_words_per_block <= 16:
-        return _color_encode_body_raw(img, cfg, cap_words_per_block, stuff)
+        return _color_encode_body_raw(
+            img, cfg, cap_words_per_block, stuff,
+            custom_tables=custom_tables,
+        )
+    assert custom_tables is None, "runtime tables need the raw path"
     ph, pw = img.shape[1:]
     nbh, nbw = ph // 8, pw // 8
     basis_np = cfg.dct_basis()
@@ -606,6 +617,100 @@ def color_coefficients(image: np.ndarray, config: EncodeConfig):
     return np.asarray(zz), table_sel, comp_id
 
 
+@functools.lru_cache(maxsize=16)
+def _color_stats_fn(ph: int, pw: int, cfg: EncodeConfig):
+    """Jitted pass 1 of device 2-pass optimal color coding: planar RGB ->
+    per-class symbol count tensors (entropy_device.symbol_histograms,
+    with the interleaved scan's static table selectors and per-component
+    DC chains)."""
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    _gidx, table_sel, comp_id = _scan_layout(ph, pw, cfg.subsampling)
+
+    @jax.jit
+    def fn(img):
+        zz = _color_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        ).astype(jnp.int32)
+        dcd = _per_component_dc_diff(zz[:, 0], comp_id)
+        return entropy_device.symbol_histograms(
+            zz, table_sel=jnp.asarray(table_sel), dc_diff=dcd
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_color_device_rt(ph: int, pw: int, cfg: EncodeConfig,
+                            cap_words_per_block: int, stuff: bool):
+    """Jitted full device color encode with RUNTIME Huffman tables."""
+
+    @jax.jit
+    def fn(img, tabs_lum, tabs_chrom):
+        return color_encode_body(
+            img, cfg, cap_words_per_block, stuff,
+            custom_tables=(tabs_lum, tabs_chrom),
+        )
+
+    return fn
+
+
+def _encode_color_optimized_device(
+    image: np.ndarray, config: EncodeConfig, w: int, h: int
+) -> bytes:
+    """Device-speed 2-pass optimal color encode (see
+    pipeline._encode_grayscale_optimized_device)."""
+    from . import pipeline, tables
+    from .entropy import pallas_pack
+
+    ph, pw = image.shape[:2]
+    img_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0)))
+    stats = jax.device_get(_color_stats_fn(ph, pw, config)(img_dev))
+    freqs = entropy_device.assemble_histograms(stats)
+    specs = tables.optimal_specs_from_frequencies(freqs)
+    luts = tables.huffman_luts_from_specs(specs)
+    tabs = tuple(
+        jnp.asarray(
+            pallas_pack.pack_runtime_tables(
+                luts[f"dc_{kind}"][0], luts[f"dc_{kind}"][1],
+                luts[f"ac_{kind}"][0], luts[f"ac_{kind}"][1],
+            )
+        )
+        for kind in ("lum", "chrom")
+    )
+    host_stuff = config.stuff == "host" and pipeline._native_available()
+    for cap in pipeline.capacity_ladder(config):
+        if cap > 16:
+            break
+        fn = _encode_color_device_rt(ph, pw, config, cap, not host_stuff)
+        out, count, overflowed = fn(img_dev, *tabs)
+        if host_stuff:
+            from . import native
+
+            words, total_bits = pipeline.fetch_stream_words(
+                out, count, overflowed, spec_key=(ph, pw, config, "opt")
+            )
+            if words is not None:
+                seg = native.words_to_stuffed(words, total_bits)
+                return jfif.assemble(w, h, config, [seg],
+                                     huffman_specs=specs)
+        elif not bool(overflowed):
+            seg = pipeline.fetch_prefix(out, count).tobytes()
+            return jfif.assemble(w, h, config, [seg], huffman_specs=specs)
+    # pathological content: host 2-pass with the same tables
+    zz, table_sel, comp_id = color_coefficients(
+        np.moveaxis(np.asarray(jax.device_get(img_dev)), 0, -1), config
+    )
+    segments = entropy_host.encode_scan(
+        zz, table_sel=table_sel.astype(np.int64), comp_id=comp_id,
+        pad_ones=config.pad_ones,
+        luts=tables.huffman_luts_from_specs(specs),
+    )
+    return jfif.assemble(w, h, config, segments, huffman_specs=specs)
+
+
 def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes:
     """RGB uint8 [H, W, 3] -> baseline JFIF YCbCr stream (420 or 444)."""
     config = config or EncodeConfig(subsampling="420")
@@ -617,8 +722,10 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
 
     if config.optimize_huffman:
-        # 2-pass optimal tables for the interleaved scan (see
-        # pipeline.encode_grayscale): device transform, host entropy.
+        if (config.entropy == "device" and not config.restart_interval
+                and config.dct_dtype != "int32"):
+            return _encode_color_optimized_device(image, config, w, h)
+        # host 2-pass (restart intervals, int32 mode, entropy="host")
         from . import tables
 
         zz, table_sel, comp_id = color_coefficients(image, config)

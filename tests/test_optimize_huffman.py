@@ -93,3 +93,22 @@ def test_device_two_pass_matches_host_two_pass():
         img, EncodeConfig(optimize_huffman=True, entropy="host")
     )
     assert dev == host
+
+
+@pytest.mark.parametrize("ss", ["420", "422", "444"])
+def test_color_device_two_pass_matches_host_two_pass(ss):
+    rng = np.random.default_rng(11)
+    img = np.stack([_img(96, 112, s) for s in range(3)], axis=-1)
+    dev = color_pipeline.encode_color(
+        img, EncodeConfig(subsampling=ss, optimize_huffman=True)
+    )
+    host = color_pipeline.encode_color(
+        img, EncodeConfig(subsampling=ss, optimize_huffman=True,
+                          entropy="host")
+    )
+    assert dev == host
+    std = color_pipeline.encode_color(img, EncodeConfig(subsampling=ss))
+    assert len(dev) < len(std)
+    a = np.asarray(Image.open(io.BytesIO(std)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
+    np.testing.assert_array_equal(a, b)
