@@ -36,11 +36,12 @@ class EncodeConfig:
         vectorized numpy coder (entropy.host).
       optimize_huffman: 2-pass optimal Huffman tables (the libjpeg
         optimize_coding capability, which the reference's hardwired
-        Annex-K tables forgo): first pass gathers per-class symbol
+        Annex-K tables forgo): pass 1 gathers per-class symbol
         histograms, package-merge builds length-limited optimal specs,
-        and the scan + DHT segments use them. Implies the host entropy
-        coder (custom tables are runtime data; the fused device kernels
-        bake tables in as compile-time constants).
+        and the scan + DHT segments use them. With entropy="device" both
+        passes run on device (on-device histograms, runtime tables in
+        the fused kernel — two dispatches, ~2 KB host traffic); restart
+        intervals, int32 mode and entropy="host" take the host coder.
       capacity_words_per_block: static per-block output capacity (uint32
         words) for the device packer. The default (8 words = 4 bpp) covers
         photographic content with wide margin; overflow is detected and the
