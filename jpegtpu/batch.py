@@ -322,6 +322,10 @@ def encode_color_batch(
     from . import color_pipeline as cp
 
     config = config or EncodeConfig(subsampling="420")
+    if config.optimize_huffman:
+        # per-image optimal tables can't share one batched program;
+        # encode individually (each via the device 2-pass).
+        return [cp.encode_color(img, config) for img in images]
     groups = defaultdict(list)
     for i, img in enumerate(images):
         h, w = img.shape[:2]
@@ -389,6 +393,10 @@ def encode_grayscale_batch(
     its devices (data parallelism over images, SURVEY.md §2.4): each chip
     encodes its images independently, no collectives at all."""
     config = config or EncodeConfig()
+    if config.optimize_huffman:
+        # per-image optimal tables can't share one batched program;
+        # encode individually (each via the device 2-pass).
+        return [pipeline.encode_grayscale(img, config) for img in images]
 
     # bucket by (padded shape, rgb-ness)
     groups = defaultdict(list)
