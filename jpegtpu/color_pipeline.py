@@ -617,23 +617,63 @@ def color_coefficients(image: np.ndarray, config: EncodeConfig):
     return np.asarray(zz), table_sel, comp_id
 
 
+def _component_levels_raw(img, cfg: EncodeConfig):
+    """Per-component raster-order levels (zy [ny,64], zcb, zcr [nc,64])
+    computed by the SAME Pallas transform calls _color_encode_body_raw
+    makes (same subsample, same zero-padding to kernel tiles). Pass 1 of
+    2-pass optimal coding must histogram exactly the levels pass 2
+    encodes — XLA/Pallas float tie-splits would otherwise leave a pass-2
+    symbol with no code (a silently corrupt stream)."""
+    from .ops import pallas_transform as pt
+
+    y, cb, cr = color.rgb_planar_to_ycbcr(img)
+    if cfg.subsampling == "420":
+        cb = color.subsample_420(cb)
+        cr = color.subsample_420(cr)
+    elif cfg.subsampling == "422":
+        cb = color.subsample_422(cb)
+        cr = color.subsample_422(cr)
+    fy = 2 if cfg.subsampling == "420" else 1
+    fx = 1 if cfg.subsampling == "444" else 2
+    mh, mw = cb.shape
+    kh, kw = pt.padded_dims_kernel(mh, mw)
+    yh, yw = y.shape
+    if (kh, kw) != (mh, mw):
+        cb = jnp.pad(cb, ((0, kh - mh), (0, kw - mw)))
+        cr = jnp.pad(cr, ((0, kh - mh), (0, kw - mw)))
+    if (fy * kh, fx * kw) != (yh, yw):
+        y = jnp.pad(y, ((0, fy * kh - yh), (0, fx * kw - yw)))
+    ncg = kw // pt.TILE_W
+    nmch, nmcw = mh // 8, mw // 8
+    interp = jax.default_backend() == "cpu"
+    qtl = jnp.asarray(cfg.luma_quant.astype(np.float32))
+    qtc = jnp.asarray(cfg.chroma_quant.astype(np.float32))
+    raw_y = pt.transform_plane_raw(y, qtl, cfg.bitexact, interpret=interp)
+    raw_c = pt.transform_plane_raw(
+        jnp.concatenate([cb, cr]), qtc, cfg.bitexact, interpret=interp
+    )
+    g = raw_c.shape[0] // 2
+    raw_c5 = raw_c.reshape(2, g, 64, pt.SUBLANES, pt.LANES)
+    zy = pt.raw_to_scan(raw_y, fy * nmch, fx * nmcw, fx * ncg).T
+    zcb = pt.raw_to_scan(raw_c5[0], nmch, nmcw, ncg).T
+    zcr = pt.raw_to_scan(raw_c5[1], nmch, nmcw, ncg).T
+    return zy, zcb, zcr
+
+
 @functools.lru_cache(maxsize=16)
 def _color_stats_fn(ph: int, pw: int, cfg: EncodeConfig):
     """Jitted pass 1 of device 2-pass optimal color coding: planar RGB ->
     per-class symbol count tensors (entropy_device.symbol_histograms,
     with the interleaved scan's static table selectors and per-component
-    DC chains)."""
-    basis_np = cfg.dct_basis()
-    qtl_np = cfg.luma_quant.astype(np.float32)
-    qtc_np = cfg.chroma_quant.astype(np.float32)
+    DC chains) — levels from the raw Pallas transforms, byte-identical
+    to what pass 2 encodes."""
     _gidx, table_sel, comp_id = _scan_layout(ph, pw, cfg.subsampling)
 
     @jax.jit
     def fn(img):
-        zz = _color_levels(
-            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
-            jnp.asarray(qtc_np),
-        ).astype(jnp.int32)
+        zy, zcb, zcr = _component_levels_raw(img, cfg)
+        allz = jnp.concatenate([zy, zcb, zcr], axis=0).astype(jnp.int32)
+        zz = allz[jnp.asarray(_gidx)]
         dcd = _per_component_dc_diff(zz[:, 0], comp_id)
         return entropy_device.symbol_histograms(
             zz, table_sel=jnp.asarray(table_sel), dc_diff=dcd
@@ -699,12 +739,18 @@ def _encode_color_optimized_device(
         elif not bool(overflowed):
             seg = pipeline.fetch_prefix(out, count).tobytes()
             return jfif.assemble(w, h, config, [seg], huffman_specs=specs)
-    # pathological content: host 2-pass with the same tables
+    # Pathological content past the raw-path capacity: host 2-pass. The
+    # host coder encodes XLA-path levels, so its tables must come from
+    # THOSE levels (the device histograms above describe the Pallas
+    # levels — a tie-split would leave a symbol with no code).
     zz, table_sel, comp_id = color_coefficients(
         np.moveaxis(np.asarray(jax.device_get(img_dev)), 0, -1), config
     )
+    tsel = table_sel.astype(np.int64)
+    freqs = entropy_host.symbol_frequencies(zz, table_sel=tsel, comp_id=comp_id)
+    specs = tables.optimal_specs_from_frequencies(freqs)
     segments = entropy_host.encode_scan(
-        zz, table_sel=table_sel.astype(np.int64), comp_id=comp_id,
+        zz, table_sel=tsel, comp_id=comp_id,
         pad_ones=config.pad_ones,
         luts=tables.huffman_luts_from_specs(specs),
     )
@@ -854,11 +900,10 @@ def encode_color_sharded(
     totals_np = _jax.device_get(totals)
     segments = gather_segments_multihost(streams, totals_np)
     mcu_w = mcu_dims(config.subsampling)[1]
-    mcu_per_shard = (ph // n // mcu_rows) * (pw // mcu_w)
     restart_cfg = EncodeConfig(
         quality=config.quality,
         subsampling=config.subsampling,
-        restart_interval=restart_subsegments(mcu_per_shard),
+        restart_interval=restart_subsegments(ph // n // mcu_rows, pw // mcu_w),
         pad_ones=config.pad_ones,
         bitexact=config.bitexact,
     )
@@ -884,8 +929,8 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
     gather_idx, table_sel, comp_id = _scan_layout(ph_local, pw, cfg.subsampling)
     nslots = gather_idx.shape[0]
     spm = slots_per_mcu(cfg.subsampling)
-    mcu_per_shard = nslots // spm
-    seg_slots = restart_subsegments(mcu_per_shard) * spm
+    mh, mw = mcu_dims(cfg.subsampling)
+    seg_slots = restart_subsegments(ph_local // mh, pw // mw) * spm
 
     def local_encode(img_local):
         from .entropy import treepack

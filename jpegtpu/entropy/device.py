@@ -567,12 +567,14 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
     zigzag levels -> per-class symbol count tensors; only ~2 KB crosses
     the host boundary (vs ~4 B/pixel of coefficients for a host-side
     first pass). Returns a dict of device arrays:
-      dc12 [2, 12] f32   — DC size-category counts per table class,
-      ac   [2, 16, 11] f32 — AC (run, size) counts (size >= 1),
+      dc12 [2, 12] i32   — DC size-category counts per table class,
+      ac   [2, 16, 11] i32 — AC (run, size) counts (size >= 1),
       zrl  [2] i32, eob [2] i32.
     Assemble into 256-bin histograms with assemble_histograms (host).
-    Counts are f32-exact up to 2^24 symbols per class — far above any
-    single-scan block count this encoder accepts.
+    All accumulation is integer-exact: the one-hot contractions run in
+    f32 only WITHIN a 2048-block chunk (sums <= 2^17, exact) and the
+    cross-chunk carry is i32 — exact to 2^31 symbols, beyond the 2^27
+    blocks of a maximal 65535x65535 scan.
     """
     zz = zz.astype(jnp.int32)
     nb = zz.shape[0]
@@ -585,9 +587,13 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
     )
 
     dsize = 32 - jax.lax.clz(jnp.abs(dc_diff))  # clz(0)=32 -> size 0
-    d_oh = (dsize[:, None] == jnp.arange(12)[None, :]).astype(jnp.float32)
-    sel_oh = (sel[:, None] == jnp.arange(2)[None, :]).astype(jnp.float32)
-    dc12 = jnp.einsum("nt,ns->ts", sel_oh, d_oh)
+    d_oh = dsize[:, None] == jnp.arange(12)[None, :]
+    dc12 = jnp.stack(
+        [
+            jnp.sum((d_oh & (sel == t)[:, None]).astype(jnp.int32), axis=0)
+            for t in (0, 1)
+        ]
+    )
 
     ac = zz[:, 1:]
     nz = ac != 0
@@ -626,6 +632,9 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
     s11 = jnp.arange(11)
 
     def step(carry, xs):
+        # f32 contraction within the chunk (sums <= c*63 < 2^24, exact),
+        # i32 carry across chunks (exact to 2^31 — f32 would silently
+        # lose counts past 2^24 on giant scans).
         h0, h1 = carry
         remc, sizec, m0, m1 = xs
         n = c * 63
@@ -633,10 +642,10 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
         s_oh = (sizec.reshape(n, 1) == s11[None, :]).astype(jnp.float32)
         h0 = h0 + jnp.einsum(
             "nr,ns->rs", r_oh * m0.reshape(n, 1).astype(jnp.float32), s_oh
-        )
+        ).astype(jnp.int32)
         h1 = h1 + jnp.einsum(
             "nr,ns->rs", r_oh * m1.reshape(n, 1).astype(jnp.float32), s_oh
-        )
+        ).astype(jnp.int32)
         return (h0, h1), None
 
     xs = (
@@ -646,7 +655,7 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
         e1.reshape(steps, c, 63),
     )
     (h0, h1), _ = jax.lax.scan(
-        step, (jnp.zeros((16, 11), jnp.float32),) * 2, xs
+        step, (jnp.zeros((16, 11), jnp.int32),) * 2, xs
     )
     return {
         "dc12": dc12,

@@ -44,7 +44,15 @@ def initialize(**kwargs) -> None:
         or "JAX_COORDINATOR_ADDRESS" in os.environ
         or os.environ.get("COORDINATOR_ADDRESS")
     ):
-        jax.distributed.initialize(**kwargs)
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError:
+            # Last-resort idempotence: if BOTH state imports above failed
+            # on a future jax version, a second call lands here instead
+            # of crashing the caller ("already initialized" raises
+            # RuntimeError from jax.distributed.initialize).
+            if _gs is not None:
+                raise
 
 
 def global_mesh(axis: str = "shard"):

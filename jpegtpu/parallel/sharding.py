@@ -53,16 +53,37 @@ def shard_padded_dims(h: int, w: int, n_shards: int) -> tuple[int, int]:
     return ph, pw
 
 
-def restart_subsegments(mcu_per_shard: int) -> int:
-    """Largest interval R <= 65535 with R | mcu_per_shard: DRI's payload
-    is a 16-bit field (T.81 B.2.4.4), so a shard whose MCU count exceeds
-    it must emit several restart segments; R must divide the shard size
-    so segment boundaries stay globally periodic (only the scan's LAST
-    segment may be short)."""
-    k = -(-mcu_per_shard // 0xFFFF)
-    while mcu_per_shard % k:
+def restart_subsegments(rows_per_shard: int, mcus_per_row: int) -> int:
+    """Restart interval R for equal shards of rows_per_shard MCU rows:
+    DRI's payload is a 16-bit field (T.81 B.2.4.4), so a shard whose MCU
+    count exceeds 65535 must emit several restart segments, and R must
+    divide the shard size so segment boundaries stay globally periodic
+    (only the scan's LAST segment may be short, T.81 B.2.4.4).
+
+    A whole-row interval R = mcus_per_row * (divisor of rows_per_shard)
+    always exists with R >= mcus_per_row — no shard geometry can degrade
+    to 1-MCU segments; a larger plain divisor of the total is preferred
+    when a bounded trial finds one."""
+    total = rows_per_shard * mcus_per_row
+    if total <= 0xFFFF:
+        return total
+    best = 0
+    kmax = min(0xFFFF // mcus_per_row, rows_per_shard)
+    for k in range(kmax, 0, -1):
+        if rows_per_shard % k == 0:
+            best = mcus_per_row * k
+            break
+    k = -(-total // 0xFFFF)
+    for _ in range(4096):  # bounded: give up rather than scan O(total)
+        if total % k == 0:
+            best = max(best, total // k)
+            break
         k += 1
-    return mcu_per_shard // k
+    assert best >= 1, (
+        f"no legal restart interval for shard geometry "
+        f"{rows_per_shard}x{mcus_per_row}"
+    )
+    return best
 
 
 @functools.lru_cache(maxsize=32)
@@ -87,7 +108,7 @@ def _sharded_encode_fn(
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb_local = (ph // n // 8) * (pw // 8)
-    seg_blocks = restart_subsegments(nb_local)
+    seg_blocks = restart_subsegments(ph // n // 8, pw // 8)
 
     def local_encode(img_local):
         basis = jnp.asarray(basis_np)
@@ -231,7 +252,7 @@ def encode_grayscale_sharded(
     restart_cfg = EncodeConfig(
         quality=config.quality,
         subsampling=config.subsampling,
-        restart_interval=restart_subsegments((ph // n // 8) * (pw // 8)),
+        restart_interval=restart_subsegments(ph // n // 8, pw // 8),
         pad_ones=config.pad_ones,
         bitexact=config.bitexact,
     )

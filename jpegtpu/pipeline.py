@@ -425,18 +425,40 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
     raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
 
+def _gray_levels_raw_scan(img, cfg: EncodeConfig, is_rgb: bool):
+    """Scan-order levels [nb, 64] computed by the SAME Pallas transform
+    kernel the raw encode path uses (_gray_encode_body_raw). Pass 1 of
+    2-pass optimal coding must histogram exactly the levels pass 2
+    encodes: the XLA and Pallas float pipelines can split rounding ties,
+    and a symbol with pass-1 frequency 0 would get no code — a silently
+    corrupt stream. The [64]-minor relayout this costs runs once, in the
+    cheap stats dispatch."""
+    from .ops import color as color_ops, pallas_transform as pt
+
+    y = color_ops.rgb_to_y_reference(img) if is_rgb else img
+    h, w = y.shape
+    nbh, nbw = h // 8, w // 8
+    kh, kw = pt.padded_dims_kernel(h, w)
+    if (kh, kw) != (h, w):
+        y = jnp.pad(y, ((0, kh - h), (0, kw - w)))
+    ncg = kw // pt.TILE_W
+    interp = jax.default_backend() == "cpu"
+    qtable_np = cfg.luma_quant.astype(np.float32)
+    raw = pt.transform_plane_raw(
+        y, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp
+    )
+    return pt.raw_to_scan(raw, nbh, nbw, ncg).T
+
+
 @functools.lru_cache(maxsize=32)
 def _gray_stats_fn(ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool):
     """Jitted pass 1 of device 2-pass optimal coding: image -> symbol
-    count tensors (entropy_device.symbol_histograms)."""
-    basis_np = cfg.dct_basis()
-    qtable_np = cfg.luma_quant.astype(np.float32)
+    count tensors (entropy_device.symbol_histograms) — levels from the
+    raw Pallas transform, byte-identical to what pass 2 encodes."""
 
     @jax.jit
     def fn(img):
-        zz = _gray_levels(
-            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
-        ).astype(jnp.int32)
+        zz = _gray_levels_raw_scan(img, cfg, is_rgb).astype(jnp.int32)
         return entropy_device.symbol_histograms(zz)
 
     return fn
@@ -509,9 +531,13 @@ def _encode_grayscale_optimized_device(
         elif not bool(overflowed):
             seg = fetch_prefix(out, count).tobytes()
             return jfif.assemble(w, h, config, [seg], huffman_specs=specs)
-    # pathological content past the raw-path capacity: host 2-pass
-    cfg_host = config
-    zz = grayscale_coefficients(image, cfg_host)
+    # Pathological content past the raw-path capacity: host 2-pass. The
+    # host coder encodes XLA-path levels, so its tables must come from
+    # THOSE levels (the device histograms above describe the Pallas
+    # levels — a tie-split would leave a symbol with no code).
+    zz = grayscale_coefficients(image, config)
+    freqs = entropy_host.symbol_frequencies(zz)
+    specs = {k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")}
     segments = entropy_host.encode_scan(
         zz, pad_ones=config.pad_ones,
         luts=tables.huffman_luts_from_specs(specs),

@@ -17,13 +17,17 @@ import os
 # encodes; crash always ~80 tests in, never reproducible solo). Raise
 # the limit when we can (container runs as root); xdist workers
 # (pytest.ini) additionally split the load across processes.
-try:
-    with open("/proc/sys/vm/max_map_count") as _f:
-        if int(_f.read()) < 1 << 20:
-            with open("/proc/sys/vm/max_map_count", "w") as _g:
-                _g.write(str(1 << 20))
-except (OSError, ValueError):
-    pass
+# Machine-wide kernel setting: opt out with JPEGTPU_NO_SYSCTL=1 when
+# running outside the CI container (the suite may then SIGSEGV late —
+# raise the sysctl yourself or run fewer tests per process).
+if not os.environ.get("JPEGTPU_NO_SYSCTL"):
+    try:
+        with open("/proc/sys/vm/max_map_count") as _f:
+            if int(_f.read()) < 1 << 20:
+                with open("/proc/sys/vm/max_map_count", "w") as _g:
+                    _g.write(str(1 << 20))
+    except (OSError, ValueError):
+        pass
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -97,8 +97,30 @@ def test_sharded_lengths_replicated_and_consistent():
 def test_restart_subsegments_dri_cap():
     """Shards larger than DRI's 16-bit MCU limit split into equal
     sub-segments with interval <= 65535 (ADVICE round-1 fix)."""
-    r = sharding.restart_subsegments(131072)  # 4096x4096 on 2 chips
+    r = sharding.restart_subsegments(256, 512)  # 4096x4096 on 2 chips
     assert r <= 0xFFFF and 131072 % r == 0
-    assert sharding.restart_subsegments(100) == 100
+    assert sharding.restart_subsegments(10, 10) == 100
     with pytest.raises(ValueError):
         EncodeConfig(restart_interval=70000)
+
+
+def test_restart_subsegments_awkward_geometry():
+    """No shard geometry may degrade to tiny segments: R is always at
+    least one whole MCU row (ADVICE round-2 fix — prime row counts used
+    to fall through to R=1)."""
+    for rows, mpr in [
+        (8191, 17),    # prime rows, total 139247 > 65535
+        (7919, 7907),  # prime x prime, total ~62.6M
+        (8192, 8191),  # max-geometry composite
+        (6151, 31),    # prime rows
+        (1, 8191),     # single prime row
+        (65537, 1),    # degenerate 1-wide (beyond SOF dims, still legal here)
+    ]:
+        r = sharding.restart_subsegments(rows, mpr)
+        total = rows * mpr
+        assert 1 <= r <= 0xFFFF or r == total
+        assert total % r == 0, (rows, mpr, r)
+        if total > 0xFFFF:
+            assert r >= min(mpr, 0xFFFF), (rows, mpr, r)
+        else:
+            assert r == total
