@@ -1,10 +1,16 @@
 # Developer entry points (the reference ships Makefiles; ours is thin
 # because the package is pure Python + an on-demand g++ native lib).
 
-.PHONY: test bench native clean encode-corpus analyze-corpus
+.PHONY: test bench native clean encode-corpus analyze-corpus tpu-parity
 
 test:
 	python -m pytest tests/ -q
+
+# On-silicon byte-parity gate: re-runs every production path's
+# device-vs-host-coder byte comparison on the REAL TPU (Mosaic lowering,
+# MXU rounding). Single process (-n0): the tunneled chip serializes anyway.
+tpu-parity:
+	JPEGTPU_TPU=1 python -m pytest tests/test_tpu_parity.py -q -n0 -m tpu
 
 bench:
 	python bench.py

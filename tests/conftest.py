@@ -36,7 +36,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# JPEGTPU_TPU=1 (the `make tpu-parity` gate) keeps the real TPU backend so
+# tests/test_tpu_parity.py can validate the Mosaic lowering on silicon;
+# everything else runs on the virtual 8-device CPU mesh.
+if not os.environ.get("JPEGTPU_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the large-image pipeline jits are identical across
 # runs; caching cuts cold pytest wall time significantly. Set via config (not
 # env) because the container sitecustomize imports jax before conftest runs.
