@@ -109,18 +109,52 @@ def _timeit(fn, reps, best=False):
 def _probe_backend(timeout_s: int = 240) -> bool:
     """Probe the default (tunneled TPU) backend in a SUBPROCESS: its
     init can hang indefinitely when the remote service is down, and a
-    hung init in-process would take the whole bench with it. Returns
-    True when the backend is usable."""
+    hung init in-process would take the whole bench with it. Retries
+    with backoff (BENCH_PROBE_TRIES, default 4 over ~8 min) — the
+    tunnel's outages are often transient and a degraded CPU record is
+    worth much less than a late TPU one. Returns True when usable."""
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except Exception:
-        return False
+    tries = int(os.environ.get("BENCH_PROBE_TRIES", "4"))
+    for attempt in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+        if attempt + 1 < tries:
+            time.sleep(min(30 * (2 ** attempt), 240))
+    return False
+
+
+def _last_known_good() -> dict | None:
+    """Most recent driver-recorded BENCH_r*.json whose run was NOT
+    degraded — embedded in a degraded record so the JSON stays
+    interpretable on its own."""
+    import glob
+    import re
+
+    best = None
+    for path in glob.glob("BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)\.json", path)
+        if not m:
+            continue
+        try:
+            rec = json.loads(open(path).read())
+        except Exception:
+            continue
+        payload = rec.get("parsed") if isinstance(rec, dict) else None
+        if payload is None and isinstance(rec, dict) and "metric" in rec:
+            payload = rec
+        if not payload or "degraded" in payload:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), payload)
+    return None if best is None else {"round": best[0], **best[1]}
 
 
 def main():
@@ -139,6 +173,7 @@ def main():
         h, w = 512, 512
         reps = 3
         os.environ.setdefault("BENCH_BATCH", "4")
+        os.environ.setdefault("BENCH_CORPUS", "0")
     mpix = h * w / 1e6
 
     import jax.numpy as jnp
@@ -310,9 +345,36 @@ def main():
     _color_e2e_t.append(t_c2)
     color_mpix_s = mpix / min(_color_e2e_t)
 
+    # ---------- real-content corpus (the reference's own inputs) ----------
+    # The report profiles a real photo (grad.bmp, stripped from the blob);
+    # these four committed corpus BMPs are the real-content sanity rows so
+    # the record isn't synthetic-only (VERDICT r2 "missing #5").
+    if os.environ.get("BENCH_CORPUS", "1") == "1":
+        corpus_dir = "/root/reference/assets/input"
+        names = ["lena", "blackbuck", "greenland", "offset_sample"]
+        paths = [os.path.join(corpus_dir, f"{n}.bmp") for n in names]
+        if all(os.path.exists(p) for p in paths):
+            from PIL import Image
+
+            imgs = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
+            cpix = sum(im.shape[0] * im.shape[1] for im in imgs)
+            for im in imgs:  # warmup: compile each shape's program
+                color_pipeline.encode_color(im, ccfg)
+
+            def corpus_all():
+                for im in imgs:
+                    color_pipeline.encode_color(im, ccfg)
+
+            t_corpus, _ = _timeit(corpus_all, max(3, reps // 2), best=True)
+            results["corpus_color_mpix_s"] = round(cpix / t_corpus / 1e6, 2)
+            results["corpus_images"] = len(imgs)
+
     results["parity"] = bool(results["parity_gray"] and results["parity_color"])
     if degraded:
         results["degraded"] = "tpu-backend-unavailable; CPU interpret run"
+        lkg = _last_known_good()
+        if lkg is not None:
+            results["last_known_good_tpu"] = lkg
     print(
         json.dumps(
             {

@@ -224,6 +224,51 @@ def _bucket_batch(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _color_pack_ratio(mw: int) -> int:
+    """Images per 1024-lane chroma tile for the batched raw color path:
+    r images pack side by side when r * mw == TILE_W; r = 1 needs
+    mw % TILE_W == 0 (vertical stacking only); 0 = no exact packing
+    (the staged path applies)."""
+    from .ops import pallas_transform as pt
+
+    if mw % pt.TILE_W == 0:
+        return 1
+    if pt.TILE_W % mw == 0:
+        return pt.TILE_W // mw
+    return 0
+
+
+def _color_raw_ok(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
+                  cap: int) -> bool:
+    """Whether the all-Pallas batched color body applies: exact packing
+    ratio, first-rung capacity (the chunked row merge unrolls SR = E*cap
+    + 2 rows), bounded per-image stream buffer + per-step rows in VMEM."""
+    from . import color_pipeline as cp
+    from .ops import pallas_transform as pt
+
+    if cfg.dct_dtype == "int32" or cap > 8:
+        return False
+    fy = 2 if cfg.subsampling == "420" else 1
+    fx = 1 if cfg.subsampling == "444" else 2
+    mh, mw = ph // fy, pw // fx
+    r = _color_pack_ratio(mw)
+    if r == 0 or bsz % r != 0:
+        return False
+    kh = -(-mh // pt.TILE_H) * pt.TILE_H
+    ncg_c = (r * mw) // pt.TILE_W
+    rows_per_seg = (kh // 8) * ncg_c
+    if rows_per_seg > 256:
+        return False
+    mcap = (fy * fx + 2) * cap
+    nmcu = (mh // 8) * (mw // 8)
+    out_rows = -(-(nmcu * mcap) // 128) + mcap + 8
+    # stream-rows kernel: per-step output block + double-buffered input
+    ws = mw // 8 if r > 1 else 128
+    cr = -(-(ws * mcap + mcap + 2) // 128)
+    step_bytes = rows_per_seg * cr * 128 * 4
+    return out_rows * 512 + 2 * step_bytes <= 12 << 20
+
+
 @functools.lru_cache(maxsize=64)
 def _batch_color_fn(
     bsz: int, ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
@@ -245,6 +290,8 @@ def _batch_color_fn(
     nslots = gather_idx.shape[0]
     nbh, nbw = ph // 8, pw // 8
     cap = cap_words_per_block
+    local_bsz = bsz if mesh is None else bsz // mesh.devices.size
+    raw_ok = _color_raw_ok(local_bsz, ph, pw, cfg, cap)
 
     def encode_local(imgs):
         # Gather-free batched color pack: the image axis folds into the
