@@ -269,6 +269,189 @@ def _color_raw_ok(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
     return out_rows * 512 + 2 * step_bytes <= 12 << 20
 
 
+def color_batch_raw_body(imgs, cfg: EncodeConfig, cap: int, ph: int,
+                         pw: int, nslots: int):
+    """All-Pallas batched color body: r images pack side by side into
+    the 1024-lane chroma tile (b/r bands stack vertically), the fused
+    transform + pack + natural-layout MCU merge kernels run ONCE over
+    the whole stack, and the chunked row merge (ws = the per-image
+    MCU-column width) + per-segment streaming concat emit one stream
+    per image. merge_mcu_natural_pallas is packing-transparent: its
+    Y-lane realignment maps MCU lane m to Y block col fx*m + sx, and
+    image boundaries land between lanes (chroma width mw is
+    block-aligned), so lanes never mix images.
+
+    imgs: planar RGB [b, 3, ph, pw] (b a multiple of the packing
+    ratio). Returns (streams [b, nslots*cap] u32, totals [b] i32,
+    overflow)."""
+    from .entropy import pallas_concat, pallas_pack, treepack
+    from .ops import color as color_ops
+    from .ops import pallas_transform as pt
+    from .ops.scan import cumsum_1d
+
+    b = imgs.shape[0]
+    fy = 2 if cfg.subsampling == "420" else 1
+    fx = 1 if cfg.subsampling == "444" else 2
+    mh, mw = ph // fy, pw // fx
+    r = _color_pack_ratio(mw)
+    kh = -(-mh // pt.TILE_H) * pt.TILE_H
+    wc = r * mw  # stacked chroma width (multiple of TILE_W)
+    ncg_c = wc // pt.TILE_W
+    nmch, nmcw = mh // 8, mw // 8
+    nmcu_im = nmch * nmcw
+    interp = jax.default_backend() == "cpu"
+
+    # one pointwise color convert + subsample over the whole batch
+    # (vertical stacking: image heights are MCU multiples, so 2x2
+    # averaging groups never straddle an image boundary)
+    y, cb, cr = color_ops.rgb_planar_to_ycbcr(
+        imgs.transpose(1, 0, 2, 3).reshape(3, b * ph, pw)
+    )
+    if cfg.subsampling == "420":
+        cb = color_ops.subsample_420(cb)
+        cr = color_ops.subsample_420(cr)
+    elif cfg.subsampling == "422":
+        cb = color_ops.subsample_422(cb)
+        cr = color_ops.subsample_422(cr)
+
+    def to_bands(plane, hh, wimg, khb):
+        # [b*hh, wimg] -> [b/r * khb, r*wimg]: r images side by side
+        # per band, each band's rows zero-padded to khb
+        x = plane.reshape(b // r, r, hh, wimg)
+        if khb != hh:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, khb - hh), (0, 0)))
+        return x.transpose(0, 2, 1, 3).reshape(b // r * khb, r * wimg)
+
+    y_pl = to_bands(y.reshape(b, ph, pw), ph, pw, fy * kh)
+    cb_pl = to_bands(cb.reshape(b, mh, mw), mh, mw, kh)
+    cr_pl = to_bands(cr.reshape(b, mh, mw), mh, mw, kh)
+
+    qtl = jnp.asarray(cfg.luma_quant.astype(np.float32))
+    qtc = jnp.asarray(cfg.chroma_quant.astype(np.float32))
+    raw_y = pt.transform_plane_raw(y_pl, qtl, cfg.bitexact, interpret=interp)
+    raw_c = pt.transform_plane_raw(
+        jnp.concatenate([cb_pl, cr_pl]), qtc, cfg.bitexact, interpret=interp
+    )
+    gc = raw_c.shape[0] // 2
+
+    # --- per-image DC chains on the tiny DC vectors ---
+    # Y: interleaved-scan order is (mcu_row, mcu_col, dy, dx) per
+    # image; kernel-pad rows (blocks >= fy*nmch in a band) get dcd = 0
+    # so pad blocks emit ~6-bit EOB-only streams.
+    nbh_y, nbw_y = (b // r) * fy * kh // 8, r * pw // 8
+    hby = fy * kh // 8  # Y block rows per band
+    dc_y = pt.raw_to_scan(raw_y[:, :1], nbh_y, nbw_y, fx * ncg_c)[0]
+    d = dc_y.reshape(b // r, hby, r, fx * nmcw).transpose(0, 2, 1, 3)
+    d = d[:, :, : fy * nmch]
+    d = (
+        d.reshape(b, nmch, fy, nmcw, fx)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(-1)
+    )
+    dcd = entropy_device.dc_differences(d, fy * fx * nmcu_im)
+    d = (
+        dcd.reshape(b, nmch, nmcw, fy, fx)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b // r, r, fy * nmch, fx * nmcw)
+    )
+    d = jnp.pad(d, ((0, 0), (0, 0), (0, hby - fy * nmch), (0, 0)))
+    dcd_y_pl = d.transpose(0, 2, 1, 3).reshape(nbh_y * nbw_y)
+    dcd_y_raw = pt.scan_to_raw(dcd_y_pl, nbh_y, nbw_y, fx * ncg_c)
+
+    nbh_c, nbw_c = (b // r) * kh // 8, wc // 8
+    hbc = kh // 8
+    raw_c5 = raw_c.reshape(2, gc, 64, pt.SUBLANES, pt.LANES)
+    dcd_c_raws = []
+    for i in range(2):  # independent Cb / Cr chains per image
+        dcc = pt.raw_to_scan(raw_c5[i, :, :1], nbh_c, nbw_c, ncg_c)[0]
+        e = dcc.reshape(b // r, hbc, r, nmcw).transpose(0, 2, 1, 3)
+        e = e[:, :, :nmch].reshape(-1)
+        ed = entropy_device.dc_differences(e, nmcu_im)
+        e = ed.reshape(b // r, r, nmch, nmcw)
+        e = jnp.pad(e, ((0, 0), (0, 0), (0, hbc - nmch), (0, 0)))
+        e_pl = e.transpose(0, 2, 1, 3).reshape(nbh_c * nbw_c)
+        dcd_c_raws.append(pt.scan_to_raw(e_pl, nbh_c, nbw_c, ncg_c))
+    dcd_c_raw = jnp.stack(dcd_c_raws).reshape(2 * gc, pt.SUBLANES, pt.LANES)
+
+    w_y, b_y, _ = pallas_pack.encode_blocks_pallas(
+        raw_y, dcd_y_raw, cap=cap, table=0, interpret=interp, raw=True
+    )
+    w_c, b_c, _ = pallas_pack.encode_blocks_pallas(
+        raw_c, dcd_c_raw, cap=cap, table=1, interpret=interp, raw=True
+    )
+    overflow = jnp.any(b_y > cap * 32) | jnp.any(b_c > cap * 32)
+    merged, mbits = pallas_pack.merge_mcu_natural_pallas(
+        w_y, b_y,
+        w_c.reshape(2, gc, cap, pt.SUBLANES, pt.LANES),
+        b_c.reshape(2, gc, pt.SUBLANES, pt.LANES),
+        nrg_c=(b // r) * kh // pt.TILE_H, ncg_c=ncg_c,
+        subsampling=cfg.subsampling, interpret=interp,
+    )
+
+    # mask kernel-pad MCU rows (block rows >= nmch within a band)
+    gci = jnp.arange(gc)
+    si = jnp.arange(pt.SUBLANES)
+    br = ((gci[:, None] // ncg_c) % (kh // pt.TILE_H)) * 8 + si[None, :]
+    valid = (br < nmch)[:, :, None]
+    b_m = jnp.where(valid, mbits, 0)
+    w_m = jnp.where(valid[:, None], merged, 0)
+
+    ws = nmcw if r > 1 else pallas_concat.LANES
+    segs = pallas_concat.merge_sublanes_pallas(
+        w_m, b_m, ws=ws, interpret=interp
+    )
+    gpb = kh // pt.TILE_H  # chroma row-groups per band
+    if r > 1:  # ncg_c == 1 here (r*mw == TILE_W)
+        nc = pallas_concat.LANES // ws
+        crr = segs.shape[2] // nc
+        segs2 = (
+            segs.reshape(b // r, gpb, 8, nc, crr, pallas_concat.LANES)
+            .transpose(0, 3, 1, 2, 4, 5)
+            .reshape(b * gpb * 8, crr, pallas_concat.LANES)
+        )
+        chunkbits = jnp.sum(b_m.reshape(gc, 8, nc, ws), axis=-1)
+        rowbits = (
+            chunkbits.reshape(b // r, gpb, 8, nc)
+            .transpose(0, 3, 1, 2)
+            .reshape(b, gpb * 8)
+        )
+        rows_per_seg = gpb * 8
+    else:
+        crr = segs.shape[2]
+        if ncg_c > 1:
+            # flat (g, s) order is (rg, cg, s); the per-image scan
+            # needs (rg, s, cg)
+            nrg_pl = gc // ncg_c
+            segs2 = (
+                segs.reshape(nrg_pl, ncg_c, 8, crr, pallas_concat.LANES)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(gc * 8, crr, pallas_concat.LANES)
+            )
+            rowbits = (
+                jnp.sum(b_m, axis=-1)
+                .reshape(nrg_pl, ncg_c, 8)
+                .transpose(0, 2, 1)
+                .reshape(b, gpb * 8 * ncg_c)
+            )
+        else:
+            segs2 = segs.reshape(gc * 8, crr, pallas_concat.LANES)
+            rowbits = jnp.sum(b_m, axis=-1).reshape(b, gpb * 8)
+        rows_per_seg = gpb * 8 * ncg_c
+
+    inc = jax.vmap(cumsum_1d)(rowbits)
+    offs = (inc - rowbits).reshape(-1)
+    totals = inc[:, -1].astype(jnp.int32)
+    out_rows = -(-(nslots * cap) // pallas_concat.LANES) + crr + 3
+    streams = pallas_concat._stream_concat_rows(
+        segs2, offs, rows_per_seg=rows_per_seg, out_rows=out_rows,
+        interpret=interp,
+    ).reshape(b, out_rows * pallas_concat.LANES)[:, : nslots * cap]
+    streams, totals = treepack.apply_tail_padding_segments(
+        streams, totals, cfg.pad_ones
+    )
+    return streams, totals, overflow
+
+
 @functools.lru_cache(maxsize=64)
 def _batch_color_fn(
     bsz: int, ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
@@ -294,6 +477,8 @@ def _batch_color_fn(
     raw_ok = _color_raw_ok(local_bsz, ph, pw, cfg, cap)
 
     def encode_local(imgs):
+        if raw_ok:
+            return color_batch_raw_body(imgs, cfg, cap, ph, pw, nslots)
         # Gather-free batched color pack: the image axis folds into the
         # Pallas block grid per component class; per-image DC chains are
         # dc_differences with a per-image reset; the scan-order merge and
@@ -393,9 +578,14 @@ def encode_color_batch(
             # color_pipeline._component_levels)
             batch.append(np.ascontiguousarray(np.moveaxis(img, -1, 0)))
         bsz = _bucket_batch(len(batch))
-        if mesh is not None:
-            n_dev = mesh.devices.size
-            bsz = -(-bsz // n_dev) * n_dev
+        # pad the batch axis so the all-Pallas body's side-by-side
+        # packing ratio divides the (per-device) batch; zero images
+        # encode to near-empty streams, far cheaper than the staged path
+        rr = _color_pack_ratio(
+            pw // (1 if config.subsampling == "444" else 2)
+        )
+        unit = max(rr, 1) * (mesh.devices.size if mesh is not None else 1)
+        bsz = -(-bsz // unit) * unit
         while len(batch) < bsz:
             batch.append(np.zeros_like(batch[0]))
         arr = _device_batch(batch, mesh)

@@ -123,3 +123,59 @@ def test_batch_raw_plane_parity_over_mesh():
     got = batch.encode_grayscale_batch(images, cfg, mesh=make_mesh(8))
     for i, img in enumerate(images):
         assert got[i] == pipeline.encode_grayscale(img, cfg), f"mesh {i}"
+
+
+def _rgb(h, w, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 1.3 + yy * 0.7) % 256
+    return np.stack(
+        [
+            np.clip(base + rng.normal(0, 9, (h, w)) + 15 * c, 0, 255)
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_color_batch_raw_plane_parity():
+    """Shapes eligible for the all-Pallas batched color body (chroma
+    width dividing or a multiple of the 1024-lane tile) must stay
+    byte-identical to single encodes, for every subsampling mode and
+    packing regime (side-by-side r>1, vertical r=1, multi-col-group)."""
+    from jpegtpu import color_pipeline
+
+    cases = [
+        ("420", (128, 128), 3),   # r=16 side-by-side
+        ("422", (128, 256), 5),   # r=8
+        ("444", (64, 128), 4),    # r=8
+        ("420", (120, 512), 3),   # r=4, non-MCU-multiple height
+        ("420", (128, 2048), 2),  # r=1 vertical stacking (mw=1024)
+        ("420", (64, 4096), 2),   # r=1, ncg_c=2 (the (rg,s,cg) order)
+    ]
+    for ss, (h, w), n in cases:
+        cfg = EncodeConfig(subsampling=ss)
+        ph, pw = color_pipeline.padded_dims_color(h, w, ss)
+        mw = pw // (1 if ss == "444" else 2)
+        r = batch._color_pack_ratio(mw)
+        bsz = max(batch._bucket_batch(n), max(r, 1))
+        assert batch._color_raw_ok(bsz, ph, pw, cfg, 8), (ss, h, w)
+        imgs = [_rgb(h, w, 40 + s) for s in range(n)]
+        got = batch.encode_color_batch(imgs, cfg)
+        for i, img in enumerate(imgs):
+            assert got[i] == color_pipeline.encode_color(img, cfg), (
+                ss, (h, w), i,
+            )
+
+
+def test_color_batch_raw_over_mesh():
+    """The batched raw color body inside shard_map (per-shard packing)
+    must match single-image encodes."""
+    from jpegtpu import color_pipeline
+    from jpegtpu.parallel.sharding import make_mesh
+
+    cfg = EncodeConfig(subsampling="420")
+    imgs = [_rgb(128, 128, 60 + s) for s in range(6)]
+    got = batch.encode_color_batch(imgs, cfg, mesh=make_mesh(4))
+    for i, img in enumerate(imgs):
+        assert got[i] == color_pipeline.encode_color(img, cfg), f"mesh {i}"

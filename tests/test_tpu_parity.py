@@ -148,6 +148,19 @@ def test_color_batch_bytes_equal_singles():
         assert data == color_pipeline.encode_color(img, cfg)
 
 
+def test_color_batch_raw_bytes_equal_singles():
+    """The all-Pallas batched color body (side-by-side packed planes,
+    natural-layout MCU merge, chunked per-image concat) on silicon."""
+    imgs = [_rgb(120, 512, seed=20 + s) for s in range(3)]
+    cfg = EncodeConfig(subsampling="420")
+    from jpegtpu.batch import _color_raw_ok
+
+    assert _color_raw_ok(4, 128, 512, cfg, 8)
+    outs = batch.encode_color_batch(imgs, cfg)
+    for img, data in zip(imgs, outs):
+        assert data == color_pipeline.encode_color(img, cfg)
+
+
 # ---------- 2-pass optimal Huffman (runtime SMEM tables) ----------
 
 def test_gray_optimized_device_bytes_equal_host_two_pass():
