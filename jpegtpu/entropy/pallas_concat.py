@@ -124,7 +124,8 @@ def _merge_kernel(w_ref, b_ref, out_ref, *, cap: int, ws: int = LANES):
         )
 
 
-def _merge_kernel_skew(w_ref, b_ref, out_ref, *, cap: int):
+def _merge_kernel_skew(w_ref, b_ref, out_ref, *, cap: int,
+                       ws: int = LANES):
     """Same contract as _merge_kernel, for LARGE caps (merged color MCU
     streams, cap ~= 48). The wide one-hot deposit of _merge_kernel costs
     O(128 * SR * 128) VREG ops just MATERIALIZING the [128, SR*128]
@@ -140,9 +141,18 @@ def _merge_kernel_skew(w_ref, b_ref, out_ref, *, cap: int):
 
     Word-sharing between adjacent streams is bit-disjoint, so the f32
     sums stay exact (<= 2^16 per half). Cost: ~2k VREG ops + 8 small
-    matmuls per sublane, independent of SR."""
-    sr = cap + 1
+    matmuls per sublane, independent of SR.
+
+    ws < 128 splits the row into nc = 128/ws independent chunk segments
+    (per-image streams of a packed batch, same contract as
+    _merge_kernel): only the prefix sum (chunk-local) and the flat base
+    (+ chunk_id * cr * 128 words) change — the skew/deposit math is
+    per-lane and needs no other adjustment."""
+    nc = LANES // ws
+    cr = -(-(ws * cap + cap + 2) // LANES)
+    sr = nc * cr if nc > 1 else cap + 1
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane_c = lane_i % ws if nc > 1 else lane_i
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -154,11 +164,13 @@ def _merge_kernel_skew(w_ref, b_ref, out_ref, *, cap: int):
         inc = b
         for t in range(7):
             sh = 1 << t
+            if sh >= ws:
+                break
             inc = inc + jnp.where(
-                lane_i >= sh, pltpu.roll(inc, sh, axis=1), 0
+                lane_c >= sh, pltpu.roll(inc, sh, axis=1), 0
             )
-        excl = jnp.where(lane_i >= 1, pltpu.roll(inc, 1, axis=1), 0)
-        base = excl >> 5
+        excl = jnp.where(lane_c >= 1, pltpu.roll(inc, 1, axis=1), 0)
+        base = (excl >> 5) + (lane_i // ws) * (cr * LANES)
         r = jnp.bitwise_and(excl, 31).astype(jnp.uint32)
         t32 = jnp.clip(32 - (excl & 31), 0, 31).astype(jnp.uint32)
         rz = r == 0
@@ -170,7 +182,7 @@ def _merge_kernel_skew(w_ref, b_ref, out_ref, *, cap: int):
         # skew: rotate lane l's column down by r_l = base_l % 128
         rl = base & 127
         wsk = jnp.concatenate(
-            [wp, jnp.zeros((LANES - sr, LANES), jnp.uint32)], axis=0
+            [wp, jnp.zeros((LANES - (cap + 1), LANES), jnp.uint32)], axis=0
         )
         for t in range(7):
             sh = 1 << t
@@ -230,7 +242,10 @@ def merge_sublanes_pallas(w_raw, b_raw, ws: int = LANES,
     cr = -(-(ws * cap + cap + 2) // LANES)
     sr = nc * cr if nc > 1 else cap + 1
     if nc > 1:
-        kern = functools.partial(_merge_kernel, cap=cap, ws=ws)
+        kern = functools.partial(
+            _merge_kernel_skew if cap >= _SKEW_MIN_CAP else _merge_kernel,
+            cap=cap, ws=ws,
+        )
     else:
         kern = functools.partial(
             _merge_kernel_skew if cap >= _SKEW_MIN_CAP else _merge_kernel,
