@@ -24,6 +24,88 @@ from .ops import blocks
 from . import pipeline
 
 
+def _gray_pack_ratio(pw: int) -> int:
+    """Images per 1024-lane plane tile for the gray raw batch path
+    (0 = no exact packing; the staged path applies)."""
+    from .ops import pallas_transform as pt
+
+    if pw % pt.TILE_W == 0:
+        return 1
+    if pt.TILE_W % pw == 0 and pw >= 8 * 16:
+        return pt.TILE_W // pw
+    return 0
+
+
+def _gray_raw_ok(local_bsz: int, ph: int, pw: int, cfg: EncodeConfig,
+                 cap: int) -> bool:
+    """Whether the all-Pallas gray batch body applies: exact packing
+    ratio, bounded per-image rows per segment, stream buffer in VMEM."""
+    from .ops import pallas_transform as pt
+
+    r = _gray_pack_ratio(pw)
+    nb = (ph // 8) * (pw // 8)
+    rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)
+    rps = rows_pp * (pw // pt.TILE_W if r == 1 else 1)
+    return (
+        cfg.dct_dtype != "int32" and cap <= 16 and r > 0
+        and (r == 1 or local_bsz % r == 0)
+        and rps <= 256
+        and (nb * cap // 128 + cap + 8) * 512 <= 12 << 20
+    )
+
+
+def _gray_batch_plane_raw(imgs, cfg: EncodeConfig, is_rgb: bool, ph: int,
+                          pw: int, r: int):
+    """Packed-plane Pallas transform + per-image DC chains for the gray
+    batch: [b, ph, pw(,3)] -> (raw [G, 64, 8, 128], dcd [b*nb] i32 in
+    per-image raster order, dcd_raw [G, 8, 128], geom dict).
+
+    SHARED by the batch body and optimize_huffman pass 1: pass 1 must
+    histogram exactly the levels pass 2 encodes (an XLA/Pallas rounding
+    tie-split would otherwise leave a pass-2 symbol with no code — a
+    silently corrupt stream)."""
+    from .ops import color as color_ops
+    from .ops import pallas_transform as pt
+
+    b = imgs.shape[0]
+    if is_rgb:
+        imgs = jax.vmap(color_ops.rgb_to_y_reference)(imgs)
+    rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)  # block rows/img
+    ph_pad = rows_pp * 8
+    if ph_pad != ph:
+        imgs = jnp.pad(imgs, ((0, 0), (0, ph_pad - ph), (0, 0)))
+    # side-by-side packing: [B, ph_pad, pw] -> [B/r * ph_pad, r*pw]
+    plane = (
+        imgs.reshape(b // r, r, ph_pad, pw)
+        .transpose(0, 2, 1, 3)
+        .reshape(b // r * ph_pad, r * pw)
+    )
+    interp = jax.default_backend() == "cpu"
+    raw = pt.transform_plane_raw(
+        plane, jnp.asarray(cfg.luma_quant.astype(np.float32)),
+        cfg.bitexact, interpret=interp,
+    )
+    ncg = (r * pw) // pt.TILE_W
+    nbh_pl, nbw_pl = (b // r) * rows_pp, (r * pw) // 8
+    nbh_im, nbw_im = ph // 8, pw // 8
+    nb = nbh_im * nbw_im
+
+    # per-image DC chains on the small DC vectors
+    dc_pl = pt.raw_to_scan(raw[:, :1], nbh_pl, nbw_pl, ncg)[0]
+    dc4 = dc_pl.reshape(b // r, rows_pp, r, nbw_im).transpose(0, 2, 1, 3)
+    dc_img = dc4[:, :, :nbh_im]  # [B/r, r, nbh_im, nbw_im] valid rows
+    dcd = entropy_device.dc_differences(dc_img.reshape(-1), nb)
+    dcd4 = jnp.pad(
+        dcd.reshape(b // r, r, nbh_im, nbw_im),
+        ((0, 0), (0, 0), (0, rows_pp - nbh_im), (0, 0)),
+    )
+    dcd_pl = dcd4.transpose(0, 2, 1, 3).reshape(nbh_pl * nbw_pl)
+    dcd_raw = pt.scan_to_raw(dcd_pl, nbh_pl, nbw_pl, ncg)
+    geom = dict(rows_pp=rows_pp, ncg=ncg, nbh_pl=nbh_pl, nbw_pl=nbw_pl,
+                nbh_im=nbh_im, nbw_im=nbw_im)
+    return raw, dcd, dcd_raw, geom
+
+
 @functools.lru_cache(maxsize=128)
 def _batch_encode_fn(
     bsz: int,
@@ -33,6 +115,7 @@ def _batch_encode_fn(
     is_rgb: bool,
     cap_words_per_block: int,
     mesh=None,
+    rt: bool = False,
 ):
     """Batched fused encode over [bsz, ph, pw(, 3)]: the transform vmaps
     (dense), then the image axis FOLDS INTO THE BLOCK GRID — one Pallas
@@ -43,73 +126,42 @@ def _batch_encode_fn(
 
     Returns fn(imgs) -> (streams [bsz, nb*cap] u32, total_bits [bsz],
     overflow). mesh: optional 1-D mesh — the batch axis shards across it
-    via shard_map (pure data parallelism, no collectives)."""
+    via shard_map (pure data parallelism, no collectives). rt=True
+    returns fn(imgs, tabs) taking a runtime Huffman table blob
+    (pallas_pack.pack_runtime_tables) instead of the standard tables —
+    the batched pass 2 of 2-pass optimal coding (raw path only)."""
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb = (ph // 8) * (pw // 8)
     cap = cap_words_per_block
     from .ops import pallas_transform as pt
 
-    r = (
-        1 if pw % pt.TILE_W == 0
-        else (pt.TILE_W // pw if pt.TILE_W % pw == 0 else 0)
-    )
+    r = _gray_pack_ratio(pw)
     local_bsz = bsz if mesh is None else bsz // mesh.devices.size
-    _rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)
-    _rps = _rows_pp * (pw // pt.TILE_W if r == 1 else 1)
-    raw_ok = (
-        cfg.dct_dtype != "int32" and cap <= 16 and r > 0
-        and (r == 1 or (local_bsz % r == 0 and pw >= 8 * 16))
-        and _rps <= 256
-        and (nb * cap // 128 + cap + 8) * 512 <= 12 << 20
-    )
+    raw_ok = _gray_raw_ok(local_bsz, ph, pw, cfg, cap)
+    assert raw_ok or not rt, "runtime tables ride the raw path only"
 
-    def encode_local_raw(imgs):
+    def encode_local_raw(imgs, tabs=None):
         """All-Pallas batch body: images pack r-up into one plane for the
         fused transform + pack kernels; the chunked row merge (ws = the
         per-image block-row width) keeps each image's stream separate,
         and the per-segment streaming concat emits one stream per image.
         No vmapped XLA levels, no [B*nb, 64] coefficient relayouts."""
         from .entropy import pallas_concat, pallas_pack, treepack
-        from .ops import color as color_ops
         from .ops.scan import cumsum_1d
 
         b = imgs.shape[0]
-        if is_rgb:
-            imgs = jax.vmap(color_ops.rgb_to_y_reference)(imgs)
-        rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)  # block rows/img
-        ph_pad = rows_pp * 8
-        if ph_pad != ph:
-            imgs = jnp.pad(imgs, ((0, 0), (0, ph_pad - ph), (0, 0)))
-        # side-by-side packing: [B, ph_pad, pw] -> [B/r * ph_pad, r*pw]
-        plane = (
-            imgs.reshape(b // r, r, ph_pad, pw)
-            .transpose(0, 2, 1, 3)
-            .reshape(b // r * ph_pad, r * pw)
-        )
-        interp = jax.default_backend() == "cpu"
-        raw = pt.transform_plane_raw(
-            plane, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp
+        raw, _dcd, dcd_raw, gm = _gray_batch_plane_raw(
+            imgs, cfg, is_rgb, ph, pw, r
         )
         g = raw.shape[0]
-        ncg = (r * pw) // pt.TILE_W
-        nbh_pl, nbw_pl = (b // r) * rows_pp, (r * pw) // 8
-        nbh_im, nbw_im = ph // 8, pw // 8
-
-        # per-image DC chains on the small DC vectors
-        dc_pl = pt.raw_to_scan(raw[:, :1], nbh_pl, nbw_pl, ncg)[0]
-        dc4 = dc_pl.reshape(b // r, rows_pp, r, nbw_im).transpose(0, 2, 1, 3)
-        dc_img = dc4[:, :, :nbh_im]  # [B/r, r, nbh_im, nbw_im] valid rows
-        dcd = entropy_device.dc_differences(dc_img.reshape(-1), nb)
-        dcd4 = jnp.pad(
-            dcd.reshape(b // r, r, nbh_im, nbw_im),
-            ((0, 0), (0, 0), (0, rows_pp - nbh_im), (0, 0)),
-        )
-        dcd_pl = dcd4.transpose(0, 2, 1, 3).reshape(nbh_pl * nbw_pl)
-        dcd_raw = pt.scan_to_raw(dcd_pl, nbh_pl, nbw_pl, ncg)
+        rows_pp, ncg = gm["rows_pp"], gm["ncg"]
+        nbh_im, nbw_im = gm["nbh_im"], gm["nbw_im"]
+        interp = jax.default_backend() == "cpu"
 
         w_raw, b_raw, _ = pallas_pack.encode_blocks_pallas(
-            raw, dcd_raw, cap=cap, table=0, interpret=interp, raw=True
+            raw, dcd_raw, cap=cap, table=0, custom_tables=tabs,
+            interpret=interp, raw=True,
         )
         # zero out per-image pad rows (blocks beyond ph//8): block row of
         # lane-row (g, s) is (g // ncg) * 8 + s, per-image via % rows_pp
@@ -178,9 +230,9 @@ def _batch_encode_fn(
         )
         return streams, totals, overflow
 
-    def encode_local(imgs):
+    def encode_local(imgs, tabs=None):
         if raw_ok:
-            return encode_local_raw(imgs)
+            return encode_local_raw(imgs, tabs)
         b = imgs.shape[0]
         zz = jax.vmap(
             lambda im: pipeline._gray_levels(
@@ -195,11 +247,32 @@ def _batch_encode_fn(
         )
 
     if mesh is None:
-        return jax.jit(encode_local)
+        if rt:
+            return jax.jit(encode_local)
+        return jax.jit(lambda imgs: encode_local(imgs))
 
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
+
+    if rt:
+        def shard_fn_rt(imgs, tabs):
+            streams, totals, overflow = encode_local(imgs, tabs)
+            return streams, totals, overflow[None]
+
+        sharded_rt = jax.shard_map(
+            shard_fn_rt,
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+
+        def fn_rt(imgs, tabs):
+            streams, totals, overflow = sharded_rt(imgs, tabs)
+            return streams, totals, jnp.any(overflow)
+
+        return jax.jit(fn_rt)
 
     def shard_fn(imgs):
         streams, totals, overflow = encode_local(imgs)
@@ -222,6 +295,210 @@ def _batch_encode_fn(
 
 def _bucket_batch(n: int) -> int:
     return 1 << (n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=32)
+def _batch_gray_stats_fn(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
+                         is_rgb: bool, mesh=None):
+    """Jitted pass 1 of BATCHED 2-pass optimal coding: [bsz, ph, pw(,3)]
+    -> symbol count tensors summed over the whole batch (one ~2 KB
+    download). Levels come from the SAME packed-plane Pallas transform
+    the rt batch body encodes (_gray_batch_plane_raw), with per-image DC
+    chains and kernel-pad blocks excluded."""
+    from .ops import pallas_transform as pt
+
+    r = _gray_pack_ratio(pw)
+    assert r > 0
+    nb = (ph // 8) * (pw // 8)
+
+    def stats_local(imgs, valid_img):
+        b = imgs.shape[0]
+        raw, dcd, _, gm = _gray_batch_plane_raw(imgs, cfg, is_rgb, ph, pw, r)
+        zz_pl = pt.raw_to_scan(raw, gm["nbh_pl"], gm["nbw_pl"], gm["ncg"]).T
+        z = (
+            zz_pl.reshape(b // r, gm["rows_pp"], r, gm["nbw_im"], 64)
+            .transpose(0, 2, 1, 3, 4)[:, :, : gm["nbh_im"]]
+            .reshape(-1, 64)
+        )
+        # bucket-padding images must not bias the shared tables
+        valid = jnp.repeat(valid_img, nb)
+        return entropy_device.symbol_histograms(z, dc_diff=dcd, valid=valid)
+
+    if mesh is None:
+        return jax.jit(stats_local)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def shard_fn(imgs, valid_img):
+        st = stats_local(imgs, valid_img)
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis), st)
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _encode_gray_batch_optimized(
+    images: list[np.ndarray], config: EncodeConfig, mesh=None,
+) -> list[bytes]:
+    """Batched 2-pass optimal-Huffman encode with SHARED tables: one
+    histogram dispatch over the whole batch, one host package-merge on
+    the ~2 KB summed counts, one batched re-encode with the tables as
+    runtime data — O(1) dispatches for any batch size. The tables are
+    optimal for the BATCH (every file is still a standalone baseline
+    JPEG declaring its tables in DHT); callers who need per-image
+    optimal tables encode images individually via pipeline (the
+    reference's fixed-table design has neither — jpeg_tables.c:3-48)."""
+    from . import tables
+    from .entropy import pallas_pack
+
+    groups = defaultdict(list)
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        ph, pw = blocks.padded_dims(h, w)
+        groups[(ph, pw, img.ndim == 3)].append(i)
+
+    out: list[bytes | None] = [None] * len(images)
+    for (ph, pw, is_rgb), idxs in groups.items():
+        r = _gray_pack_ratio(pw)
+        unit = max(r, 1) * (mesh.devices.size if mesh is not None else 1)
+        bsz = -(-_bucket_batch(len(idxs)) // unit) * unit
+        local = bsz if mesh is None else bsz // mesh.devices.size
+        if not _gray_raw_ok(local, ph, pw, config, 8):
+            for i in idxs:  # staged shapes: per-image 2-pass
+                out[i] = pipeline.encode_grayscale(images[i], config)
+            continue
+        batch = []
+        for i in idxs:
+            img = images[i]
+            h, w = img.shape[:2]
+            if (ph, pw) != (h, w):
+                pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (img.ndim - 2)
+                img = np.pad(img, pad, mode="edge")
+            batch.append(img)
+        while len(batch) < bsz:
+            batch.append(np.zeros_like(batch[0]))
+        arr = _device_batch(batch, mesh)
+
+        valid_img = _device_batch_flags(
+            np.arange(bsz) < len(idxs), mesh
+        )
+        stats = jax.device_get(
+            _batch_gray_stats_fn(bsz, ph, pw, config, is_rgb, mesh)(
+                arr, valid_img
+            )
+        )
+        freqs = entropy_device.assemble_histograms(stats)
+        specs = {
+            k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")
+        }
+        luts = tables.huffman_luts_from_specs(specs)
+        tabs = jnp.asarray(
+            pallas_pack.pack_runtime_tables(
+                luts["dc_lum"][0], luts["dc_lum"][1],
+                luts["ac_lum"][0], luts["ac_lum"][1],
+            )
+        )
+        done = False
+        for cap in pipeline.capacity_ladder(config):
+            if not _gray_raw_ok(local, ph, pw, config, cap):
+                break  # runtime tables ride the raw path only
+            fn = _batch_encode_fn(bsz, ph, pw, config, is_rgb, cap, mesh,
+                                  rt=True)
+            streams, totals, overflow = fn(arr, tabs)
+            if not bool(overflow):
+                streams, totals = jax.device_get((streams, totals))
+                done = True
+                break
+        if not done:  # pathological content: per-image host 2-pass
+            for i in idxs:
+                out[i] = pipeline.encode_grayscale(images[i], config)
+            continue
+        segs = pipeline.segments_from_streams(streams, totals)
+        for j, i in enumerate(idxs):
+            h, w = images[i].shape[:2]
+            out[i] = jfif.assemble(w, h, config, [segs[j]],
+                                   huffman_specs=specs)
+    return out  # type: ignore[return-value]
+
+
+@functools.lru_cache(maxsize=32)
+def _batch_color_stats_fn(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
+                          mesh=None):
+    """Jitted pass 1 of BATCHED color 2-pass optimal coding:
+    [bsz, 3, ph, pw] planar RGB -> per-class symbol count tensors summed
+    over the batch. Levels come from the SAME packed-plane Pallas
+    transforms the rt batch body encodes (_color_batch_plane_raw), with
+    per-image per-component DC chains; histograms are order-independent,
+    so blocks stay in raster order (no interleave gather)."""
+    from .ops import pallas_transform as pt
+
+    def stats_local(imgs, valid_img):
+        b = imgs.shape[0]
+        raw_y, raw_c, _, _, ras, gm = _color_batch_plane_raw(
+            imgs, cfg, ph, pw
+        )
+        fy, fx, r = gm["fy"], gm["fx"], gm["r"]
+        nmch, nmcw = gm["nmch"], gm["nmcw"]
+        hby, hbc = gm["hby"], gm["hbc"]
+        ny_im = fy * fx * gm["nmcu_im"]
+        nc_im = gm["nmcu_im"]
+
+        zy = (
+            pt.raw_to_scan(raw_y, gm["nbh_y"], gm["nbw_y"], fx * gm["ncg_c"])
+            .T.reshape(b // r, hby, r, fx * nmcw, 64)
+            .transpose(0, 2, 1, 3, 4)[:, :, : fy * nmch]
+            .reshape(-1, 64)
+        )
+        raw_c5 = raw_c.reshape(2, gm["gc"], 64, pt.SUBLANES, pt.LANES)
+        zc = []
+        for i in range(2):
+            zc.append(
+                pt.raw_to_scan(raw_c5[i], gm["nbh_c"], gm["nbw_c"],
+                               gm["ncg_c"])
+                .T.reshape(b // r, hbc, r, nmcw, 64)
+                .transpose(0, 2, 1, 3, 4)[:, :, :nmch]
+                .reshape(-1, 64)
+            )
+        zz = jnp.concatenate([zy] + zc)
+        dcd = jnp.concatenate([
+            ras["dcd_y"].reshape(-1),
+            ras["dcd_cb"].reshape(-1),
+            ras["dcd_cr"].reshape(-1),
+        ])
+        tsel = jnp.concatenate([
+            jnp.zeros(b * ny_im, jnp.int32),
+            jnp.ones(2 * b * nc_im, jnp.int32),
+        ])
+        valid = jnp.concatenate([
+            jnp.repeat(valid_img, ny_im),
+            jnp.repeat(valid_img, nc_im),
+            jnp.repeat(valid_img, nc_im),
+        ])
+        return entropy_device.symbol_histograms(
+            zz, table_sel=tsel, dc_diff=dcd, valid=valid
+        )
+
+    if mesh is None:
+        return jax.jit(stats_local)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def shard_fn(imgs, valid_img):
+        st = stats_local(imgs, valid_img)
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis), st)
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def _color_pack_ratio(mw: int) -> int:
@@ -269,25 +546,17 @@ def _color_raw_ok(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
     return out_rows * 512 + 2 * step_bytes <= 12 << 20
 
 
-def color_batch_raw_body(imgs, cfg: EncodeConfig, cap: int, ph: int,
-                         pw: int, nslots: int):
-    """All-Pallas batched color body: r images pack side by side into
-    the 1024-lane chroma tile (b/r bands stack vertically), the fused
-    transform + pack + natural-layout MCU merge kernels run ONCE over
-    the whole stack, and the chunked row merge (ws = the per-image
-    MCU-column width) + per-segment streaming concat emit one stream
-    per image. merge_mcu_natural_pallas is packing-transparent: its
-    Y-lane realignment maps MCU lane m to Y block col fx*m + sx, and
-    image boundaries land between lanes (chroma width mw is
-    block-aligned), so lanes never mix images.
+def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
+    """Packed-plane Pallas transforms + per-image per-component DC
+    chains for the color batch: planar RGB [b, 3, ph, pw] ->
+    (raw_y, raw_c, dcd_y_raw, dcd_c_raw, rasters, geom).
 
-    imgs: planar RGB [b, 3, ph, pw] (b a multiple of the packing
-    ratio). Returns (streams [b, nslots*cap] u32, totals [b] i32,
-    overflow)."""
-    from .entropy import pallas_concat, pallas_pack, treepack
+    SHARED by the batch body and optimize_huffman pass 1 (pass 1 must
+    histogram exactly the levels pass 2 encodes). rasters holds the
+    per-image-raster DC differences (dcd_y [b, fy*nmch, fx*nmcw],
+    dcd_cb/dcd_cr [b, nmch, nmcw]) the stats path pairs with levels."""
     from .ops import color as color_ops
     from .ops import pallas_transform as pt
-    from .ops.scan import cumsum_1d
 
     b = imgs.shape[0]
     fy = 2 if cfg.subsampling == "420" else 1
@@ -349,11 +618,12 @@ def color_batch_raw_body(imgs, cfg: EncodeConfig, cap: int, ph: int,
         .reshape(-1)
     )
     dcd = entropy_device.dc_differences(d, fy * fx * nmcu_im)
-    d = (
+    dcd_y_ras = (
         dcd.reshape(b, nmch, nmcw, fy, fx)
         .transpose(0, 1, 3, 2, 4)
-        .reshape(b // r, r, fy * nmch, fx * nmcw)
+        .reshape(b, fy * nmch, fx * nmcw)
     )
+    d = dcd_y_ras.reshape(b // r, r, fy * nmch, fx * nmcw)
     d = jnp.pad(d, ((0, 0), (0, 0), (0, hby - fy * nmch), (0, 0)))
     dcd_y_pl = d.transpose(0, 2, 1, 3).reshape(nbh_y * nbw_y)
     dcd_y_raw = pt.scan_to_raw(dcd_y_pl, nbh_y, nbw_y, fx * ncg_c)
@@ -361,23 +631,64 @@ def color_batch_raw_body(imgs, cfg: EncodeConfig, cap: int, ph: int,
     nbh_c, nbw_c = (b // r) * kh // 8, wc // 8
     hbc = kh // 8
     raw_c5 = raw_c.reshape(2, gc, 64, pt.SUBLANES, pt.LANES)
-    dcd_c_raws = []
+    dcd_c_raws, dcd_c_ras = [], []
     for i in range(2):  # independent Cb / Cr chains per image
         dcc = pt.raw_to_scan(raw_c5[i, :, :1], nbh_c, nbw_c, ncg_c)[0]
         e = dcc.reshape(b // r, hbc, r, nmcw).transpose(0, 2, 1, 3)
         e = e[:, :, :nmch].reshape(-1)
         ed = entropy_device.dc_differences(e, nmcu_im)
+        dcd_c_ras.append(ed.reshape(b, nmch, nmcw))
         e = ed.reshape(b // r, r, nmch, nmcw)
         e = jnp.pad(e, ((0, 0), (0, 0), (0, hbc - nmch), (0, 0)))
         e_pl = e.transpose(0, 2, 1, 3).reshape(nbh_c * nbw_c)
         dcd_c_raws.append(pt.scan_to_raw(e_pl, nbh_c, nbw_c, ncg_c))
     dcd_c_raw = jnp.stack(dcd_c_raws).reshape(2 * gc, pt.SUBLANES, pt.LANES)
+    rasters = dict(dcd_y=dcd_y_ras, dcd_cb=dcd_c_ras[0], dcd_cr=dcd_c_ras[1])
+    geom = dict(fy=fy, fx=fx, r=r, kh=kh, wc=wc, ncg_c=ncg_c, gc=gc,
+                nmch=nmch, nmcw=nmcw, nmcu_im=nmcu_im, hby=hby, hbc=hbc,
+                nbh_y=nbh_y, nbw_y=nbw_y, nbh_c=nbh_c, nbw_c=nbw_c)
+    return raw_y, raw_c, dcd_y_raw, dcd_c_raw, rasters, geom
+
+
+def color_batch_raw_body(imgs, cfg: EncodeConfig, cap: int, ph: int,
+                         pw: int, nslots: int, custom_tables=None):
+    """All-Pallas batched color body: r images pack side by side into
+    the 1024-lane chroma tile (b/r bands stack vertically), the fused
+    transform + pack + natural-layout MCU merge kernels run ONCE over
+    the whole stack, and the chunked row merge (ws = the per-image
+    MCU-column width) + per-segment streaming concat emit one stream
+    per image. merge_mcu_natural_pallas is packing-transparent: its
+    Y-lane realignment maps MCU lane m to Y block col fx*m + sx, and
+    image boundaries land between lanes (chroma width mw is
+    block-aligned), so lanes never mix images.
+
+    imgs: planar RGB [b, 3, ph, pw] (b a multiple of the packing
+    ratio). custom_tables: optional ([192] luma, [192] chroma) runtime
+    Huffman blobs (pallas_pack.pack_runtime_tables) — batched pass 2 of
+    2-pass optimal coding. Returns (streams [b, nslots*cap] u32,
+    totals [b] i32, overflow)."""
+    from .entropy import pallas_concat, pallas_pack, treepack
+    from .ops import pallas_transform as pt
+    from .ops.scan import cumsum_1d
+
+    b = imgs.shape[0]
+    raw_y, raw_c, dcd_y_raw, dcd_c_raw, _ras, gm = _color_batch_plane_raw(
+        imgs, cfg, ph, pw
+    )
+    fy, fx, r = gm["fy"], gm["fx"], gm["r"]
+    kh, ncg_c, gc = gm["kh"], gm["ncg_c"], gm["gc"]
+    nmch, nmcw = gm["nmch"], gm["nmcw"]
+    interp = jax.default_backend() == "cpu"
+    ct_y = None if custom_tables is None else custom_tables[0]
+    ct_c = None if custom_tables is None else custom_tables[1]
 
     w_y, b_y, _ = pallas_pack.encode_blocks_pallas(
-        raw_y, dcd_y_raw, cap=cap, table=0, interpret=interp, raw=True
+        raw_y, dcd_y_raw, cap=cap, table=0, custom_tables=ct_y,
+        interpret=interp, raw=True,
     )
     w_c, b_c, _ = pallas_pack.encode_blocks_pallas(
-        raw_c, dcd_c_raw, cap=cap, table=1, interpret=interp, raw=True
+        raw_c, dcd_c_raw, cap=cap, table=1, custom_tables=ct_c,
+        interpret=interp, raw=True,
     )
     overflow = jnp.any(b_y > cap * 32) | jnp.any(b_c > cap * 32)
     merged, mbits = pallas_pack.merge_mcu_natural_pallas(
@@ -455,13 +766,16 @@ def color_batch_raw_body(imgs, cfg: EncodeConfig, cap: int, ph: int,
 @functools.lru_cache(maxsize=64)
 def _batch_color_fn(
     bsz: int, ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
-    mesh=None,
+    mesh=None, rt: bool = False,
 ):
     """Batched fused color encode over [bsz, ph, pw, 3]: same image-axis
     fold as _batch_encode_fn — the per-image interleaved scan becomes one
     flat slot axis with a bsz-tiled static table selector, so the
     multi-table fused Pallas path and the batched segment concat both
-    apply. Returns fn(imgs) -> (streams, total_bits, overflow)."""
+    apply. Returns fn(imgs) -> (streams, total_bits, overflow); rt=True
+    returns fn(imgs, tabs_luma, tabs_chroma) taking runtime Huffman
+    table blobs (batched pass 2 of 2-pass optimal coding, raw path
+    only)."""
     from . import color_pipeline as cp
 
     from .entropy import treepack
@@ -475,10 +789,13 @@ def _batch_color_fn(
     cap = cap_words_per_block
     local_bsz = bsz if mesh is None else bsz // mesh.devices.size
     raw_ok = _color_raw_ok(local_bsz, ph, pw, cfg, cap)
+    assert raw_ok or not rt, "runtime tables ride the raw path only"
 
-    def encode_local(imgs):
+    def encode_local(imgs, tabs_l=None, tabs_c=None):
         if raw_ok:
-            return color_batch_raw_body(imgs, cfg, cap, ph, pw, nslots)
+            ct = None if tabs_l is None else (tabs_l, tabs_c)
+            return color_batch_raw_body(imgs, cfg, cap, ph, pw, nslots,
+                                        custom_tables=ct)
         # Gather-free batched color pack: the image axis folds into the
         # Pallas block grid per component class; per-image DC chains are
         # dc_differences with a per-image reset; the scan-order merge and
@@ -516,11 +833,32 @@ def _batch_color_fn(
         return streams, totals, overflow
 
     if mesh is None:
-        return jax.jit(encode_local)
+        if rt:
+            return jax.jit(encode_local)
+        return jax.jit(lambda imgs: encode_local(imgs))
 
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
+
+    if rt:
+        def shard_fn_rt(imgs, tabs_l, tabs_c):
+            streams, totals, overflow = encode_local(imgs, tabs_l, tabs_c)
+            return streams, totals, overflow[None]
+
+        sharded_rt = jax.shard_map(
+            shard_fn_rt,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+
+        def fn_rt(imgs, tabs_l, tabs_c):
+            streams, totals, overflow = sharded_rt(imgs, tabs_l, tabs_c)
+            return streams, totals, jnp.any(overflow)
+
+        return jax.jit(fn_rt)
 
     def shard_fn(imgs):
         streams, totals, overflow = encode_local(imgs)
@@ -541,6 +879,88 @@ def _batch_color_fn(
     return jax.jit(fn)
 
 
+def _encode_color_batch_optimized(
+    images: list[np.ndarray], config: EncodeConfig, mesh=None,
+) -> list[bytes]:
+    """Batched color 2-pass optimal-Huffman encode with SHARED tables
+    (one histogram dispatch, one host package-merge, one batched
+    re-encode with runtime tables — see _encode_gray_batch_optimized
+    for the per-image-optimality trade)."""
+    from . import color_pipeline as cp
+    from . import tables
+    from .entropy import pallas_pack
+
+    groups = defaultdict(list)
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        ph, pw = cp.padded_dims_color(h, w, config.subsampling)
+        groups[(ph, pw)].append(i)
+
+    out: list[bytes | None] = [None] * len(images)
+    for (ph, pw), idxs in groups.items():
+        rr = _color_pack_ratio(
+            pw // (1 if config.subsampling == "444" else 2)
+        )
+        unit = max(rr, 1) * (mesh.devices.size if mesh is not None else 1)
+        bsz = -(-_bucket_batch(len(idxs)) // unit) * unit
+        local = bsz if mesh is None else bsz // mesh.devices.size
+        if not _color_raw_ok(local, ph, pw, config, 8):
+            for i in idxs:  # staged shapes: per-image 2-pass
+                out[i] = cp.encode_color(images[i], config)
+            continue
+        batch = []
+        for i in idxs:
+            img = images[i]
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=-1)
+            h, w = img.shape[:2]
+            if (ph, pw) != (h, w):
+                img = np.pad(
+                    img, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge"
+                )
+            batch.append(np.ascontiguousarray(np.moveaxis(img, -1, 0)))
+        while len(batch) < bsz:
+            batch.append(np.zeros_like(batch[0]))
+        arr = _device_batch(batch, mesh)
+
+        valid_img = _device_batch_flags(np.arange(bsz) < len(idxs), mesh)
+        stats = jax.device_get(
+            _batch_color_stats_fn(bsz, ph, pw, config, mesh)(arr, valid_img)
+        )
+        freqs = entropy_device.assemble_histograms(stats)
+        specs = tables.optimal_specs_from_frequencies(freqs)
+        luts = tables.huffman_luts_from_specs(specs)
+        tabs = tuple(
+            jnp.asarray(
+                pallas_pack.pack_runtime_tables(
+                    luts[f"dc_{kind}"][0], luts[f"dc_{kind}"][1],
+                    luts[f"ac_{kind}"][0], luts[f"ac_{kind}"][1],
+                )
+            )
+            for kind in ("lum", "chrom")
+        )
+        done = False
+        for cap in pipeline.capacity_ladder(config):
+            if not _color_raw_ok(local, ph, pw, config, cap):
+                break  # runtime tables ride the raw path only
+            fn = _batch_color_fn(bsz, ph, pw, config, cap, mesh, rt=True)
+            streams, totals, overflow = fn(arr, *tabs)
+            if not bool(overflow):
+                streams, totals = jax.device_get((streams, totals))
+                done = True
+                break
+        if not done:  # pathological content: per-image 2-pass
+            for i in idxs:
+                out[i] = cp.encode_color(images[i], config)
+            continue
+        segs = pipeline.segments_from_streams(streams, totals)
+        for j, i in enumerate(idxs):
+            h, w = images[i].shape[:2]
+            out[i] = jfif.assemble(w, h, config, [segs[j]],
+                                   huffman_specs=specs)
+    return out  # type: ignore[return-value]
+
+
 def encode_color_batch(
     images: list[np.ndarray],
     config: EncodeConfig | None = None,
@@ -555,9 +975,8 @@ def encode_color_batch(
 
     config = config or EncodeConfig(subsampling="420")
     if config.optimize_huffman:
-        # per-image optimal tables can't share one batched program;
-        # encode individually (each via the device 2-pass).
-        return [cp.encode_color(img, config) for img in images]
+        # batched 2-pass with shared optimal tables: O(1) dispatches
+        return _encode_color_batch_optimized(images, config, mesh)
     groups = defaultdict(list)
     for i, img in enumerate(images):
         h, w = img.shape[:2]
@@ -618,6 +1037,18 @@ def _device_batch(batch: list[np.ndarray], mesh):
     return arr
 
 
+def _device_batch_flags(flags: np.ndarray, mesh):
+    """Place a per-image bool vector (optionally batch-sharded)."""
+    arr = jnp.asarray(flags)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        arr = jax.device_put(
+            arr, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        )
+    return arr
+
+
 def encode_grayscale_batch(
     images: list[np.ndarray],
     config: EncodeConfig | None = None,
@@ -631,9 +1062,9 @@ def encode_grayscale_batch(
     encodes its images independently, no collectives at all."""
     config = config or EncodeConfig()
     if config.optimize_huffman:
-        # per-image optimal tables can't share one batched program;
-        # encode individually (each via the device 2-pass).
-        return [pipeline.encode_grayscale(img, config) for img in images]
+        # batched 2-pass with shared optimal tables: O(1) dispatches
+        # (see _encode_gray_batch_optimized for the trade)
+        return _encode_gray_batch_optimized(images, config, mesh)
 
     # bucket by (padded shape, rgb-ness)
     groups = defaultdict(list)

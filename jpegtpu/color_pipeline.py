@@ -244,7 +244,8 @@ def _dc_diff_rows(d, period_mcu: int):
     return d - prev
 
 
-def _mcu_streams_fused(y_sm, c_sm, dcd_y, dcd_c, cap: int, interp: bool):
+def _mcu_streams_fused(y_sm, c_sm, dcd_y, dcd_c, cap: int, interp: bool,
+                       custom_tables=None):
     """Slot-major component blocks -> one packed stream per MCU, all in
     Pallas: one fused symbolize+pack launch per Huffman table class in
     RAW kernel tiling, then merge_streams_pallas folds each MCU's
@@ -265,13 +266,15 @@ def _mcu_streams_fused(y_sm, c_sm, dcd_y, dcd_c, cap: int, interp: bool):
         dcd_y = jnp.pad(dcd_y, ((0, 0), (0, mp - m)))
         dcd_c = jnp.pad(dcd_c, ((0, 0), (0, mp - m)))
     g = mp // step
+    ct_y = None if custom_tables is None else custom_tables[0]
+    ct_c = None if custom_tables is None else custom_tables[1]
     w_y, b_y, ov_y = pallas_pack.encode_blocks_pallas(
         y_sm.reshape(ky * mp, 64), dcd_y.reshape(-1), cap=cap, table=0,
-        interpret=interp, raw=True,
+        custom_tables=ct_y, interpret=interp, raw=True,
     )
     w_c, b_c, ov_c = pallas_pack.encode_blocks_pallas(
         c_sm.reshape(2 * mp, 64), dcd_c.reshape(-1), cap=cap, table=1,
-        interpret=interp, raw=True,
+        custom_tables=ct_c, interpret=interp, raw=True,
     )
     s, l = pallas_pack.SUBLANES, pallas_pack.LANES
     w_all = jnp.concatenate(
@@ -296,18 +299,19 @@ def _mcu_streams_fused(y_sm, c_sm, dcd_y, dcd_c, cap: int, interp: bool):
 
 
 def _color_block_words(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
-                       cap: int):
+                       cap: int, custom_tables=None):
     """Per-MCU packed streams for the interleaved color scan (single
     image). Returns (words_t [mcu_cap, nmcu], bits [nmcu], overflow)
     where mcu_cap = cap * slots_per_mcu — MCU streams in scan order,
     ready for concat_blocks_tree / concat_segments_tree."""
     return _color_block_words_b(
-        zy[None], zcb[None], zcr[None], nbh, nbw, subsampling, cap
+        zy[None], zcb[None], zcr[None], nbh, nbw, subsampling, cap,
+        custom_tables=custom_tables,
     )
 
 
 def _color_block_words_b(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
-                         cap: int):
+                         cap: int, custom_tables=None):
     """Batched per-MCU packed streams: zy [b, ny, 64], zcb/zcr
     [b, nc, 64] -> (words_t [mcu_cap, b*nmcu], bits [b*nmcu], overflow),
     per-image DC chains (each image of the fold restarts its predictors).
@@ -331,11 +335,13 @@ def _color_block_words_b(zy, zcb, zcr, nbh: int, nbw: int, subsampling: str,
         dcd_y = _dc_diff_slot_major(y_sm[:, :, 0], nmcu)
         dcd_c = _dc_diff_rows(c_sm[:, :, 0], nmcu)
         interp = jax.default_backend() == "cpu"
-        return _mcu_streams_fused(y_sm, c_sm, dcd_y, dcd_c, cap, interp)
+        return _mcu_streams_fused(y_sm, c_sm, dcd_y, dcd_c, cap, interp,
+                                  custom_tables=custom_tables)
 
     # Staged fallback: scan-order relayout, XLA symbolize + block
     # reduction, explicit MCU merge tree levels (bitstream concat is
     # associative, so y0‖y1, y2‖y3, ‖, ‖chroma equals slot-by-slot).
+    assert custom_tables is None, "runtime tables need the fused path"
     b = zy.shape[0]
     if subsampling == "420":
         y_scan = (
@@ -889,13 +895,52 @@ def encode_color_sharded(
         mesh,
         P(None, "shard", None),  # planar [3, H, W], bands along H
     )
+
+    specs = None
+    if config.optimize_huffman:
+        # Sharded color 2-pass: psum'd per-shard histograms -> every
+        # host package-merges identical tables -> runtime-table pass 2.
+        # Frequencies FLOORED (tables.floor_frequencies): the two passes
+        # are separate XLA programs whose f32 levels may split rounding
+        # ties, and a flipped tie must never select a code-less symbol.
+        from . import tables
+        from .entropy import pallas_pack
+
+        stats = _jax.device_get(
+            _sharded_color_stats_fn(mesh, ph, pw, config)(img_global)
+        )
+        freqs = tables.floor_frequencies(
+            entropy_device.assemble_histograms(stats)
+        )
+        specs = tables.optimal_specs_from_frequencies(freqs)
+        luts = tables.huffman_luts_from_specs(specs)
+        tabs = tuple(
+            jnp.asarray(
+                pallas_pack.pack_runtime_tables(
+                    luts[f"dc_{kind}"][0], luts[f"dc_{kind}"][1],
+                    luts[f"ac_{kind}"][0], luts[f"ac_{kind}"][1],
+                )
+            )
+            for kind in ("lum", "chrom")
+        )
+
     for cap in _pipeline.capacity_ladder(config):
-        fn = _sharded_color_fn(mesh, ph, pw, config, cap)
-        streams, totals, overflow = fn(img_global)
+        if specs is not None:
+            if cap > 16:
+                break  # runtime tables ride the fused path only
+            fn = _sharded_color_fn(mesh, ph, pw, config, cap, rt=True)
+            streams, totals, overflow = fn(img_global, *tabs)
+        else:
+            fn = _sharded_color_fn(mesh, ph, pw, config, cap)
+            streams, totals, overflow = fn(img_global)
         if not bool(overflow):
             break
     else:
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
+    if specs is not None and bool(overflow):
+        raise AssertionError(
+            "optimized sharded encode exceeded fused-path capacity"
+        )
 
     totals_np = _jax.device_get(totals)
     segments = gather_segments_multihost(streams, totals_np)
@@ -907,12 +952,50 @@ def encode_color_sharded(
         pad_ones=config.pad_ones,
         bitexact=config.bitexact,
     )
-    return jfif.assemble(w, h, restart_cfg, segments)
+    return jfif.assemble(w, h, restart_cfg, segments, huffman_specs=specs)
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_color_stats_fn(mesh, ph: int, pw: int, cfg: EncodeConfig):
+    """Pass 1 of SHARDED color 2-pass optimal coding: per-shard symbol
+    histograms of the interleaved scan (same XLA levels + per-component
+    segment-reset DC chains the sharded encode packs), psum'd so every
+    host builds the same tables."""
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.sharding import restart_subsegments
+
+    n = mesh.devices.size
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    ph_local = ph // n
+    _gidx, table_sel, comp_id = _scan_layout(ph_local, pw, cfg.subsampling)
+    spm = slots_per_mcu(cfg.subsampling)
+    mh, mw = mcu_dims(cfg.subsampling)
+    seg_slots = restart_subsegments(ph_local // mh, pw // mw) * spm
+
+    def local_stats(img_local):
+        zz = _color_levels(
+            img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        ).astype(jnp.int32)
+        dcd = _per_component_dc_diff(zz[:, 0], comp_id, seg_slots)
+        st = entropy_device.symbol_histograms(
+            zz, table_sel=jnp.asarray(table_sel), dc_diff=dcd
+        )
+        return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), st)
+
+    sharded = jax.shard_map(
+        local_stats, mesh=mesh, in_specs=P(None, "shard", None),
+        out_specs=P(), check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 @functools.lru_cache(maxsize=32)
 def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
-                      cap_words_per_block: int):
+                      cap_words_per_block: int, rt: bool = False):
     """Sharded color encode step: each shard packs k byte-aligned restart
     sub-segments (k > 1 only past DRI's 16-bit MCU limit); segment
     lengths are all_gathered so every host can assemble. Mirrors
@@ -932,7 +1015,7 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
     mh, mw = mcu_dims(cfg.subsampling)
     seg_slots = restart_subsegments(ph_local // mh, pw // mw) * spm
 
-    def local_encode(img_local):
+    def local_encode(img_local, custom_tables=None):
         from .entropy import treepack
 
         if seg_slots == nslots:
@@ -943,7 +1026,7 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
             )
             w_all, b_all, overflow = _color_block_words(
                 zy, zcb, zcr, ph_local // 8, pw // 8, cfg.subsampling,
-                cap_words_per_block,
+                cap_words_per_block, custom_tables=custom_tables,
             )
             streams, totals = treepack.concat_segments_tree(
                 w_all[:, None], b_all[None],
@@ -961,9 +1044,28 @@ def _sharded_color_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
             streams, totals, overflow = entropy_device.encode_segments_device(
                 zz, seg_slots, nslots, table_sel, dc_diff,
                 cap_words_per_block, pad_ones=cfg.pad_ones,
+                custom_tables=custom_tables,
             )
         all_totals = jax.lax.all_gather(totals, "shard")  # [n, k]
         return streams[None], all_totals, overflow[None]
+
+    if rt:
+        def local_encode_rt(img_local, tabs_l, tabs_c):
+            return local_encode(img_local, custom_tables=(tabs_l, tabs_c))
+
+        sharded_rt = jax.shard_map(
+            local_encode_rt,
+            mesh=mesh,
+            in_specs=(P(None, "shard", None), P(), P()),
+            out_specs=(P("shard", None, None), P(None, None), P("shard")),
+            check_vma=False,
+        )
+
+        def fn_rt(img, tabs_l, tabs_c):
+            streams, all_totals, overflow = sharded_rt(img, tabs_l, tabs_c)
+            return streams, all_totals, jnp.any(overflow)
+
+        return jax.jit(fn_rt)
 
     sharded = jax.shard_map(
         local_encode,

@@ -343,7 +343,7 @@ def stuff_bytes_device(words: jnp.ndarray, total_bits: jnp.ndarray):
 
 
 def _fused_grouped_pack(zz, table_sel_np, dc_diff, cap_per_block: int,
-                        interpret: bool):
+                        interpret: bool, custom_tables=None):
     """Multi-table fused symbolize+pack: one Pallas launch per Huffman
     table class over the (static) slot group using it, then a static
     gather merges the per-block word frames back to scan order.
@@ -371,9 +371,10 @@ def _fused_grouped_pack(zz, table_sel_np, dc_diff, cap_per_block: int,
     for t, idx in enumerate(perms):
         if len(idx) == 0:
             continue
+        ct = None if custom_tables is None else custom_tables[t]
         w, b, ov = pallas_pack.encode_blocks_pallas(
             zz[idx], dc_diff[idx], cap=cap_per_block, table=t,
-            interpret=interpret,
+            custom_tables=ct, interpret=interpret,
         )
         words_parts.append(w)
         bits_parts.append(b)
@@ -384,11 +385,14 @@ def _fused_grouped_pack(zz, table_sel_np, dc_diff, cap_per_block: int,
 
 
 def _per_block_words(zz, table_sel, dc_diff, cap_per_block: int,
-                     fused: bool = True):
+                     fused: bool = True, custom_tables=None):
     """Per-block packed streams: [nslots, 64] levels (+ per-block DC
     diffs) -> (words_t [cap, nslots], bits [nslots], overflow). Chooses
     the fused Pallas kernel (single- or multi-table) when eligible, else
-    the staged XLA symbolize + block reduction."""
+    the staged XLA symbolize + block reduction.
+
+    custom_tables: optional tuple of runtime Huffman blobs indexed by
+    table class (pallas_pack.pack_runtime_tables) — fused path only."""
     from . import treepack
 
     zz = zz.astype(jnp.int32)
@@ -396,13 +400,16 @@ def _per_block_words(zz, table_sel, dc_diff, cap_per_block: int,
     if fused and cap_per_block <= 16:
         if isinstance(table_sel, np.ndarray):
             return _fused_grouped_pack(zz, table_sel, dc_diff,
-                                       cap_per_block, interp)
+                                       cap_per_block, interp,
+                                       custom_tables=custom_tables)
         from . import pallas_pack
 
+        ct = None if custom_tables is None else custom_tables[table_sel]
         return pallas_pack.encode_blocks_pallas(
             zz, dc_diff, cap=cap_per_block, table=table_sel,
-            interpret=interp,
+            custom_tables=ct, interpret=interp,
         )
+    assert custom_tables is None, "runtime tables need the fused path"
     values, lengths = symbolize_elements64(zz, table_sel, dc_diff)
     words_t, bits_t = treepack._fuse_subslots(values, lengths, 3)
     return treepack._block_reduce(
@@ -420,6 +427,7 @@ def encode_segments_device(
     pad_ones: bool = True,
     deposit_threshold: int = 256,
     fused: bool = True,
+    custom_tables=None,
 ):
     """Segment-parallel entropy encode: S independent byte-aligned streams
     in ONE program — the mechanism behind single-chip restart-interval
@@ -438,7 +446,8 @@ def encode_segments_device(
     assert n_total % seg_slots == 0
     s = n_total // seg_slots
     w_t, bits, overflow = _per_block_words(
-        zz, table_sel, dc_diff, cap_per_block, fused
+        zz, table_sel, dc_diff, cap_per_block, fused,
+        custom_tables=custom_tables,
     )
     if n_valid < n_total:
         mask = jnp.arange(n_total) < n_valid
@@ -562,7 +571,8 @@ def encode_scan_device(
     return out, nbytes, total_bits > capacity_words * 32
 
 
-def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
+def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0,
+                      valid=None):
     """Pass 1 of 2-pass optimal Huffman coding, ON DEVICE: [nb, 64]
     zigzag levels -> per-class symbol count tensors; only ~2 KB crosses
     the host boundary (vs ~4 B/pixel of coefficients for a host-side
@@ -575,6 +585,9 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
     f32 only WITHIN a 2048-block chunk (sums <= 2^17, exact) and the
     cross-chunk carry is i32 — exact to 2^31 symbols, beyond the 2^27
     blocks of a maximal 65535x65535 scan.
+
+    valid: optional [nb] bool — blocks with False contribute nothing
+    (batch bucket-padding images; shard_map-safe, unlike slicing).
     """
     zz = zz.astype(jnp.int32)
     nb = zz.shape[0]
@@ -585,12 +598,13 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
         if table_sel is None
         else jnp.asarray(table_sel).astype(jnp.int32)
     )
+    v = jnp.ones(nb, bool) if valid is None else valid
 
     dsize = 32 - jax.lax.clz(jnp.abs(dc_diff))  # clz(0)=32 -> size 0
     d_oh = dsize[:, None] == jnp.arange(12)[None, :]
     dc12 = jnp.stack(
         [
-            jnp.sum((d_oh & (sel == t)[:, None]).astype(jnp.int32), axis=0)
+            jnp.sum((d_oh & ((sel == t) & v)[:, None]).astype(jnp.int32), axis=0)
             for t in (0, 1)
         ]
     )
@@ -612,10 +626,11 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
     eob = last_nz < 63
 
     zrl = jnp.stack(
-        [jnp.sum(jnp.where(sel[:, None] == t, zrl_cnt, 0)) for t in (0, 1)]
+        [jnp.sum(jnp.where(((sel == t) & v)[:, None], zrl_cnt, 0))
+         for t in (0, 1)]
     ).astype(jnp.int32)
     eobc = jnp.stack(
-        [jnp.sum((eob & (sel == t)).astype(jnp.int32)) for t in (0, 1)]
+        [jnp.sum((eob & (sel == t) & v).astype(jnp.int32)) for t in (0, 1)]
     )
 
     # AC (run, size) counts via chunked one-hot contractions: the
@@ -625,8 +640,8 @@ def symbol_histograms(zz, table_sel=None, dc_diff=None, seg_len: int = 0):
     npad = -(-nb // c) * c
     rem_p = jnp.pad(rem, ((0, npad - nb), (0, 0)))
     size_p = jnp.pad(asize, ((0, npad - nb), (0, 0)))
-    e0 = jnp.pad(emit & (sel == 0)[:, None], ((0, npad - nb), (0, 0)))
-    e1 = jnp.pad(emit & (sel == 1)[:, None], ((0, npad - nb), (0, 0)))
+    e0 = jnp.pad(emit & ((sel == 0) & v)[:, None], ((0, npad - nb), (0, 0)))
+    e1 = jnp.pad(emit & ((sel == 1) & v)[:, None], ((0, npad - nb), (0, 0)))
     steps = npad // c
     r16 = jnp.arange(16)
     s11 = jnp.arange(11)

@@ -256,8 +256,10 @@ def encode_scan(
     lens = np.empty(symbols.shape, dtype=np.uint8)
     for dc_flag, cls in ((True, "dc"), (False, "ac")):
         for tsel, kind in ((0, "lum"), (1, "chrom")):
-            c, l = luts[f"{cls}_{kind}"]
             m = (is_dc == dc_flag) & (sym_sel == tsel)
+            if not m.any():
+                continue  # grayscale custom luts carry no chrom keys
+            c, l = luts[f"{cls}_{kind}"]
             codes[m] = c[symbols[m]]
             lens[m] = l[symbols[m]]
 

@@ -146,6 +146,77 @@ def _sharded_encode_fn(
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_stats_fn(mesh: Mesh, ph: int, pw: int, cfg: EncodeConfig,
+                      is_rgb: bool):
+    """Pass 1 of SHARDED 2-pass optimal coding: per-shard symbol
+    histograms (same XLA levels + per-segment DC chains the sharded
+    encode packs), psum'd over the mesh — every chip (and host) holds
+    the global counts, so every host builds the SAME tables."""
+    n = mesh.devices.size
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
+    seg_blocks = restart_subsegments(ph // n // 8, pw // 8)
+
+    def local_stats(img_local):
+        zz = pipeline._gray_levels(
+            img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np),
+            is_rgb,
+        ).astype(jnp.int32)
+        dcd = entropy_device.dc_differences(zz[:, 0], seg_blocks)
+        st = entropy_device.symbol_histograms(zz, dc_diff=dcd)
+        return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), st)
+
+    spec = P("shard", None, None) if is_rgb else P("shard", None)
+    sharded = jax.shard_map(
+        local_stats, mesh=mesh, in_specs=spec, out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_encode_fn_rt(
+    mesh: Mesh, ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool,
+    cap_words_per_block: int,
+):
+    """Pass 2 of sharded 2-pass optimal coding: _sharded_encode_fn with
+    the Huffman tables as RUNTIME data (replicated across the mesh)."""
+    n = mesh.devices.size
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
+    nb_local = (ph // n // 8) * (pw // 8)
+    seg_blocks = restart_subsegments(ph // n // 8, pw // 8)
+
+    def local_encode(img_local, tabs):
+        zz = pipeline._gray_levels(
+            img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np),
+            is_rgb,
+        ).astype(jnp.int32)
+        dcd = entropy_device.dc_differences(zz[:, 0], seg_blocks)
+        streams, totals, overflow = entropy_device.encode_segments_device(
+            zz, seg_blocks, nb_local, 0, dcd, cap_words_per_block,
+            pad_ones=cfg.pad_ones, custom_tables=(tabs,),
+        )
+        all_totals = jax.lax.all_gather(totals, "shard")
+        return streams[None], all_totals, overflow[None]
+
+    spec = P("shard", None, None) if is_rgb else P("shard", None)
+    sharded = jax.shard_map(
+        local_encode,
+        mesh=mesh,
+        in_specs=(spec, P()),
+        out_specs=(P("shard", None, None), P(None, None), P("shard")),
+        check_vma=False,
+    )
+
+    def fn(img, tabs):
+        streams, all_totals, overflow = sharded(img, tabs)
+        return streams, all_totals, jnp.any(overflow)
+
+    return jax.jit(fn)
+
+
 def global_input(image_np: np.ndarray, mesh: Mesh, spec: P):
     """Device placement of a host image for a (possibly multi-host) mesh.
 
@@ -239,13 +310,51 @@ def encode_grayscale_sharded(
     spec = P("shard", None, None) if is_rgb else P("shard", None)
     img_global = global_input(image, mesh, spec)
 
+    specs = None
+    if config.optimize_huffman:
+        # Sharded 2-pass optimal coding: per-shard histograms psum to
+        # global counts (pass 1), every host package-merges the SAME
+        # tables, pass 2 re-encodes with the tables as runtime data.
+        # Frequencies are FLOORED (tables.floor_frequencies): the two
+        # passes are separate XLA programs, and a cross-program rounding
+        # tie must never select a code-less symbol.
+        from .. import tables
+        from ..entropy import pallas_pack
+
+        stats = jax.device_get(
+            _sharded_stats_fn(mesh, ph, pw, config, is_rgb)(img_global)
+        )
+        freqs = tables.floor_frequencies(
+            entropy_device.assemble_histograms(stats)
+        )
+        specs = {
+            k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")
+        }
+        luts = tables.huffman_luts_from_specs(specs)
+        tabs = jnp.asarray(
+            pallas_pack.pack_runtime_tables(
+                luts["dc_lum"][0], luts["dc_lum"][1],
+                luts["ac_lum"][0], luts["ac_lum"][1],
+            )
+        )
+
     for cap in pipeline.capacity_ladder(config):
-        fn = _sharded_encode_fn(mesh, ph, pw, config, is_rgb, cap)
-        streams, totals, overflow = fn(img_global)
+        if specs is not None:
+            if cap > 16:
+                break  # runtime tables ride the fused path only
+            fn = _sharded_encode_fn_rt(mesh, ph, pw, config, is_rgb, cap)
+            streams, totals, overflow = fn(img_global, tabs)
+        else:
+            fn = _sharded_encode_fn(mesh, ph, pw, config, is_rgb, cap)
+            streams, totals, overflow = fn(img_global)
         if not bool(overflow):
             break
     else:
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
+    if specs is not None and bool(overflow):
+        raise AssertionError(
+            "optimized sharded encode exceeded fused-path capacity"
+        )
 
     totals_np = jax.device_get(totals)
     segments = gather_segments_multihost(streams, totals_np)
@@ -256,4 +365,4 @@ def encode_grayscale_sharded(
         pad_ones=config.pad_ones,
         bitexact=config.bitexact,
     )
-    return jfif.assemble(w, h, restart_cfg, segments)
+    return jfif.assemble(w, h, restart_cfg, segments, huffman_specs=specs)

@@ -264,6 +264,34 @@ def optimal_specs_from_frequencies(freqs: dict, max_len: int = 16) -> dict:
     return {k: optimal_spec(v, max_len) for k, v in freqs.items()}
 
 
+def floor_frequencies(freqs: dict) -> dict:
+    """Frequency floor for DEFENSIVE 2-pass table construction: every
+    structurally emittable symbol (12 DC size categories; AC (run, size)
+    with 1 <= size <= 10, plus ZRL 0xF0 and EOB 0x00) gets count >= 1,
+    so a code exists even for a symbol pass 1 never saw.
+
+    The single-chip device 2-pass guarantees pass-1/pass-2 consistency
+    by histogramming the SAME Pallas kernel's levels; the sharded 2-pass
+    computes its two passes in two separately compiled XLA programs,
+    where cross-program bit-identity of f32 levels is not contractual —
+    a flipped rounding tie must never select a code-less symbol (a
+    silently corrupt stream). Cost: ~176 max-depth codes consume < 0.3%
+    of the code space, a negligible table-quality hit."""
+    dc_mask = np.zeros(256, np.int64)
+    dc_mask[:12] = 1
+    ac_mask = np.zeros(256, np.int64)
+    for r in range(16):
+        for s in range(1, 11):
+            ac_mask[(r << 4) | s] = 1
+    ac_mask[0xF0] = 1
+    ac_mask[0x00] = 1
+    out = {}
+    for k, v in freqs.items():
+        m = dc_mask if k.startswith("dc") else ac_mask
+        out[k] = np.maximum(np.asarray(v, np.int64), m)
+    return out
+
+
 def huffman_luts_from_specs(specs: dict) -> dict:
     """Dense (codes, lengths) LUTs from per-class (bits, values) specs —
     the custom-table edition of huffman_luts()."""

@@ -194,3 +194,25 @@ def test_int32_mode_stable_and_equals_host_entropy():
     b = pipeline.encode_grayscale(img, cfg_d)
     assert a == b  # run-to-run determinism on silicon
     assert a == pipeline.encode_grayscale(img, cfg_h)
+
+
+def test_batched_optimized_gray_on_silicon():
+    """Batched 2-pass shared-table coding: the runtime-SMEM-table batch
+    kernel must produce decodable, smaller files on real hardware."""
+    imgs = [_gray(120, 512, seed=30 + s) for s in range(3)]
+    cfg = EncodeConfig(optimize_huffman=True)
+    outs = batch.encode_grayscale_batch(imgs, cfg)
+    plain = batch.encode_grayscale_batch(imgs, EncodeConfig())
+    for im, o, p in zip(imgs, outs, plain):
+        assert len(o) < len(p)
+        _decodes(o, im.shape[1], im.shape[0])
+
+
+def test_batched_optimized_color_on_silicon():
+    imgs = [_rgb(120, 512, seed=40 + s) for s in range(3)]
+    cfg = EncodeConfig(subsampling="420", optimize_huffman=True)
+    outs = batch.encode_color_batch(imgs, cfg)
+    plain = batch.encode_color_batch(imgs, EncodeConfig(subsampling="420"))
+    for im, o, p in zip(imgs, outs, plain):
+        assert len(o) < len(p)
+        _decodes(o, im.shape[1], im.shape[0])
