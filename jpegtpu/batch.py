@@ -47,7 +47,7 @@ def _gray_raw_ok(local_bsz: int, ph: int, pw: int, cfg: EncodeConfig,
     rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)
     rps = rows_pp * (pw // pt.TILE_W if r == 1 else 1)
     return (
-        cfg.dct_dtype != "int32" and cap <= 16 and r > 0
+        cap <= 16 and r > 0
         and (r == 1 or local_bsz % r == 0)
         and rps <= 256
         and (nb * cap // 128 + cap + 8) * 512 <= 12 << 20
@@ -81,9 +81,13 @@ def _gray_batch_plane_raw(imgs, cfg: EncodeConfig, is_rgb: bool, ph: int,
         .reshape(b // r * ph_pad, r * pw)
     )
     interp = jax.default_backend() == "cpu"
+    int_mode = cfg.dct_dtype == "int32"
     raw = pt.transform_plane_raw(
-        plane, jnp.asarray(cfg.luma_quant.astype(np.float32)),
-        cfg.bitexact, interpret=interp,
+        plane,
+        jnp.asarray(
+            cfg.luma_quant.astype(np.int32 if int_mode else np.float32)
+        ),
+        cfg.bitexact, interpret=interp, int_mode=int_mode,
     )
     ncg = (r * pw) // pt.TILE_W
     nbh_pl, nbw_pl = (b // r) * rows_pp, (r * pw) // 8
@@ -523,7 +527,7 @@ def _color_raw_ok(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
     from . import color_pipeline as cp
     from .ops import pallas_transform as pt
 
-    if cfg.dct_dtype == "int32" or cap > 8:
+    if cap > 8:
         return False
     fy = 2 if cfg.subsampling == "420" else 1
     fx = 1 if cfg.subsampling == "444" else 2
@@ -595,11 +599,15 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
     cb_pl = to_bands(cb.reshape(b, mh, mw), mh, mw, kh)
     cr_pl = to_bands(cr.reshape(b, mh, mw), mh, mw, kh)
 
-    qtl = jnp.asarray(cfg.luma_quant.astype(np.float32))
-    qtc = jnp.asarray(cfg.chroma_quant.astype(np.float32))
-    raw_y = pt.transform_plane_raw(y_pl, qtl, cfg.bitexact, interpret=interp)
+    int_mode = cfg.dct_dtype == "int32"
+    qdt = np.int32 if int_mode else np.float32
+    qtl = jnp.asarray(cfg.luma_quant.astype(qdt))
+    qtc = jnp.asarray(cfg.chroma_quant.astype(qdt))
+    raw_y = pt.transform_plane_raw(y_pl, qtl, cfg.bitexact,
+                                   interpret=interp, int_mode=int_mode)
     raw_c = pt.transform_plane_raw(
-        jnp.concatenate([cb_pl, cr_pl]), qtc, cfg.bitexact, interpret=interp
+        jnp.concatenate([cb_pl, cr_pl]), qtc, cfg.bitexact,
+        interpret=interp, int_mode=int_mode,
     )
     gc = raw_c.shape[0] // 2
 

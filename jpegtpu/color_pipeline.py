@@ -447,11 +447,15 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
     ncg = kw // pt.TILE_W
     nmch, nmcw = mh // 8, mw // 8
     interp = jax.default_backend() == "cpu"
-    qtl = jnp.asarray(cfg.luma_quant.astype(np.float32))
-    qtc = jnp.asarray(cfg.chroma_quant.astype(np.float32))
-    raw_y = pt.transform_plane_raw(y, qtl, cfg.bitexact, interpret=interp)
+    int_mode = cfg.dct_dtype == "int32"
+    qdt = np.int32 if int_mode else np.float32
+    qtl = jnp.asarray(cfg.luma_quant.astype(qdt))
+    qtc = jnp.asarray(cfg.chroma_quant.astype(qdt))
+    raw_y = pt.transform_plane_raw(y, qtl, cfg.bitexact, interpret=interp,
+                                   int_mode=int_mode)
     raw_c = pt.transform_plane_raw(
-        jnp.concatenate([cb, cr]), qtc, cfg.bitexact, interpret=interp
+        jnp.concatenate([cb, cr]), qtc, cfg.bitexact, interpret=interp,
+        int_mode=int_mode,
     )
     g = raw_c.shape[0] // 2
 
@@ -525,7 +529,7 @@ def color_encode_body(img, cfg: EncodeConfig, cap_words_per_block: int,
     Huffman tables (pallas_pack.pack_runtime_tables)."""
     from .entropy import treepack
 
-    if cfg.dct_dtype != "int32" and cap_words_per_block <= 16:
+    if cap_words_per_block <= 16:
         return _color_encode_body_raw(
             img, cfg, cap_words_per_block, stuff,
             custom_tables=custom_tables,
@@ -652,11 +656,15 @@ def _component_levels_raw(img, cfg: EncodeConfig):
     ncg = kw // pt.TILE_W
     nmch, nmcw = mh // 8, mw // 8
     interp = jax.default_backend() == "cpu"
-    qtl = jnp.asarray(cfg.luma_quant.astype(np.float32))
-    qtc = jnp.asarray(cfg.chroma_quant.astype(np.float32))
-    raw_y = pt.transform_plane_raw(y, qtl, cfg.bitexact, interpret=interp)
+    int_mode = cfg.dct_dtype == "int32"
+    qdt = np.int32 if int_mode else np.float32
+    qtl = jnp.asarray(cfg.luma_quant.astype(qdt))
+    qtc = jnp.asarray(cfg.chroma_quant.astype(qdt))
+    raw_y = pt.transform_plane_raw(y, qtl, cfg.bitexact, interpret=interp,
+                                   int_mode=int_mode)
     raw_c = pt.transform_plane_raw(
-        jnp.concatenate([cb, cr]), qtc, cfg.bitexact, interpret=interp
+        jnp.concatenate([cb, cr]), qtc, cfg.bitexact, interpret=interp,
+        int_mode=int_mode,
     )
     g = raw_c.shape[0] // 2
     raw_c5 = raw_c.reshape(2, g, 64, pt.SUBLANES, pt.LANES)
@@ -774,8 +782,7 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
 
     if config.optimize_huffman:
-        if (config.entropy == "device" and not config.restart_interval
-                and config.dct_dtype != "int32"):
+        if config.entropy == "device" and not config.restart_interval:
             return _encode_color_optimized_device(image, config, w, h)
         # host 2-pass (restart intervals, int32 mode, entropy="host")
         from . import tables

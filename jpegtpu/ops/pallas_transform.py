@@ -46,6 +46,9 @@ TILE_W = 1024    # 128 block cols
 LANES = 128
 SUBLANES = 8
 
+_INT_FRAC = 11               # int-mode fixed point (ops/int_transform.py)
+_INT_HALF = 1 << (_INT_FRAC - 1)
+
 
 @functools.lru_cache(maxsize=4)
 def _permuted_bases(bitexact: bool):
@@ -72,10 +75,35 @@ def _permuted_bases(bitexact: bool):
     return col, row
 
 
-def _quant_pattern(qtable):
-    """[64, 128] f32: q[u, v] at [8u + br, 16v + bc] (traceable)."""
-    qt = jnp.asarray(qtable, jnp.float32).reshape(8, 8)
+def _quant_pattern(qtable, dtype=jnp.float32):
+    """[64, 128]: q[u, v] at [8u + br, 16v + bc] (traceable)."""
+    qt = jnp.asarray(qtable, dtype).reshape(8, 8)
     return jnp.repeat(jnp.repeat(qt, SUBLANES, axis=0), 16, axis=1)
+
+
+@functools.lru_cache(maxsize=4)
+def _permuted_bases_int(bitexact: bool):
+    """The int-mode (ops/int_transform.py) 11-bit fixed-point bases in the
+    same output permutation as `_permuted_bases`, held as integer-VALUED
+    f32: every entry is an exact small integer, so the MXU dots below are
+    error-free and the whole kernel is bit-deterministic across backends."""
+    t8 = (
+        tables.dct_basis_reference(np.float64)
+        if bitexact
+        else tables.dct_basis(np.float64)
+    )
+    t_i = np.round(t8 * (1 << _INT_FRAC))
+    col = np.zeros((TILE_H, TILE_H), np.float32)
+    for u in range(8):
+        for br in range(8):
+            for y in range(8):
+                col[8 * u + br, 8 * br + y] = t_i[u, y]
+    row = np.zeros((LANES, LANES), np.float32)
+    for v in range(8):
+        for bc in range(16):
+            for x in range(8):
+                row[8 * bc + x, 16 * v + bc] = t_i[v, x]
+    return col, row
 
 
 _ZZ_OF_UV = np.empty((8, 8), np.int64)
@@ -119,13 +147,67 @@ def _transform_kernel(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
             )
 
 
+def _transform_kernel_int(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
+    """Integer-mode twin of `_transform_kernel`: bit-identical to
+    ops/int_transform.transform_tiled_int on every backend.
+
+    The bases are 11-bit fixed-point integers carried as f32; pixels are
+    8-bit integers. Every product is below 2^19 and every accumulation
+    below 2^23, so the f32 MXU dots (HIGHEST precision: exact bf16
+    operand splits, f32 accumulate) are error-free — the dot RESULTS are
+    the exact integers, independent of backend or pass decomposition.
+    Descales and quantization then run in real int32 vector ops:
+      y1 = (colb @ x   + 2^10) >> 11
+      f  = (y1 @ rowb  + 2^10) >> 11
+      |level| = (2|f| + q) // 2q   (round-half-away, natural_c
+                quantization.c:36), sign restored from f.
+    The floor division is an f32-reciprocal estimate corrected by +/-1
+    with exact int32 compares, immune to Mosaic's division rounding."""
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32) - 128.0
+    y = jax.lax.dot(
+        colb_ref[...], x, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    y1 = ((y.astype(jnp.int32) + _INT_HALF) >> _INT_FRAC).astype(
+        jnp.float32
+    )
+    rowb = rowb_ref[...]
+    q = q_ref[...]
+    d = 2 * q
+    df = d.astype(jnp.float32)
+    chunks = []
+    for c in range(TILE_W // LANES):
+        z = jax.lax.dot(
+            y1[:, c * LANES : (c + 1) * LANES], rowb,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        f = (z.astype(jnp.int32) + _INT_HALF) >> _INT_FRAC
+        t = 2 * jnp.abs(f) + q
+        k = (t.astype(jnp.float32) / df).astype(jnp.int32)
+        k = k - (k * d > t).astype(jnp.int32)
+        k = k + ((k + 1) * d <= t).astype(jnp.int32)
+        chunks.append(jnp.where(f < 0, -k, k))
+    for u in range(8):
+        for v in range(8):
+            out_ref[int(_ZZ_OF_UV[u, v])] = jnp.concatenate(
+                [
+                    ch[8 * u : 8 * u + 8, 16 * v : 16 * v + 16]
+                    for ch in chunks
+                ],
+                axis=1,
+            )
+
+
 def padded_dims_kernel(h: int, w: int) -> tuple[int, int]:
     return (-(-h // TILE_H) * TILE_H, -(-w // TILE_W) * TILE_W)
 
 
-@functools.partial(jax.jit, static_argnames=("bitexact", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bitexact", "interpret", "int_mode")
+)
 def transform_plane_raw(img, qtable, bitexact: bool = True,
-                        interpret: bool = False):
+                        interpret: bool = False, int_mode: bool = False):
     """Pixel plane [PH, PW] (PH % 64 == 0, PW % 1024 == 0, uint8/int) ->
     zigzag levels [G, 64, 8, 128] i32 in the entropy kernel's tiling,
     G = (PH//64) * (PW//1024) grid-natural tiles (row groups major).
@@ -133,13 +215,21 @@ def transform_plane_raw(img, qtable, bitexact: bool = True,
     Block (br, bc) -> (g, s, l) = ((br>>3)*ncg + (bc>>7), br&7, bc&127).
     Pad lanes (from rounding PH/PW up) hold the transform of whatever
     padding pixels were supplied; callers slice or mask downstream.
+
+    int_mode=True runs the bit-deterministic integer transform
+    (dct_dtype="int32", ops/int_transform.py semantics) at the same
+    all-Pallas speed — identical levels on every backend and chip count.
     """
     ph, pw = img.shape
     nrg, ncg = ph // TILE_H, pw // TILE_W
-    colb, rowb = _permuted_bases(bitexact)
-    qpat = _quant_pattern(qtable)
+    if int_mode:
+        colb, rowb = _permuted_bases_int(bitexact)
+        qpat = _quant_pattern(qtable, jnp.int32)
+    else:
+        colb, rowb = _permuted_bases(bitexact)
+        qpat = _quant_pattern(qtable)
     out = pl.pallas_call(
-        _transform_kernel,
+        _transform_kernel_int if int_mode else _transform_kernel,
         grid=(nrg, ncg),
         in_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),

@@ -108,7 +108,7 @@ def gray_encode_body(img, cfg: EncodeConfig, is_rgb: bool,
     speed, no recompile per table set."""
     ph, pw = img.shape[:2]
     nb = (ph // 8) * (pw // 8)
-    if cfg.dct_dtype != "int32" and cap_words_per_block <= 16:
+    if cap_words_per_block <= 16:
         return _gray_encode_body_raw(
             img, cfg, is_rgb, cap_words_per_block, stuff,
             custom_tables=custom_tables,
@@ -147,9 +147,13 @@ def _gray_encode_body_raw(img, cfg: EncodeConfig, is_rgb: bool,
         y = jnp.pad(y, ((0, kh - h), (0, kw - w)))
     ncg = kw // pt.TILE_W
     interp = jax.default_backend() == "cpu"
-    qtable_np = cfg.luma_quant.astype(np.float32)
+    int_mode = cfg.dct_dtype == "int32"
+    qtable_np = cfg.luma_quant.astype(
+        np.int32 if int_mode else np.float32
+    )
     raw = pt.transform_plane_raw(
-        y, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp
+        y, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp,
+        int_mode=int_mode,
     )
     dc_scan = pt.raw_to_scan(raw[:, :1], nbh, nbw, ncg)[0]
     dcd = entropy_device.dc_differences(dc_scan, 0)
@@ -209,8 +213,7 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     config = config or EncodeConfig()
     h, w = image.shape[:2]
     if config.optimize_huffman:
-        if (config.entropy == "device" and not config.restart_interval
-                and config.dct_dtype != "int32"):
+        if config.entropy == "device" and not config.restart_interval:
             return _encode_grayscale_optimized_device(image, config)
         # host 2-pass (restart intervals, int32 mode, entropy="host")
         zz = grayscale_coefficients(image, config)
@@ -443,9 +446,13 @@ def _gray_levels_raw_scan(img, cfg: EncodeConfig, is_rgb: bool):
         y = jnp.pad(y, ((0, kh - h), (0, kw - w)))
     ncg = kw // pt.TILE_W
     interp = jax.default_backend() == "cpu"
-    qtable_np = cfg.luma_quant.astype(np.float32)
+    int_mode = cfg.dct_dtype == "int32"
+    qtable_np = cfg.luma_quant.astype(
+        np.int32 if int_mode else np.float32
+    )
     raw = pt.transform_plane_raw(
-        y, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp
+        y, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp,
+        int_mode=int_mode,
     )
     return pt.raw_to_scan(raw, nbh, nbw, ncg).T
 

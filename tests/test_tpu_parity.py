@@ -216,3 +216,54 @@ def test_batched_optimized_color_on_silicon():
     for im, o, p in zip(imgs, outs, plain):
         assert len(o) < len(p)
         _decodes(o, im.shape[1], im.shape[0])
+
+
+def test_int32_raw_kernel_on_silicon_equals_numpy_oracle():
+    """The int-mode Pallas kernel's exactness argument (integer-valued
+    f32 MXU dots below 2^24 are error-free) is only PROVEN on real
+    Mosaic lowering: compare the full TPU int32 stream against a stream
+    built from a pure numpy int64 recomputation of the levels."""
+    from jpegtpu import tables
+    from jpegtpu.entropy import host as entropy_host
+    from jpegtpu.io import jfif
+
+    img = _gray(112, 136, seed=21)
+    cfg = EncodeConfig(dct_dtype="int32")
+    dev = pipeline.encode_grayscale(img, cfg)
+
+    t8 = np.round(
+        tables.dct_basis_reference(np.float64) * 2048
+    ).astype(np.int64)
+    x = img.astype(np.int64) - 128
+    nbh, nbw = img.shape[0] // 8, img.shape[1] // 8
+    blks = x.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    y1 = (np.einsum("ux,nxy->nuy", t8, blks) + 1024) >> 11
+    f = (np.einsum("nuy,vy->nuv", y1, t8) + 1024) >> 11
+    q = cfg.luma_quant.astype(np.int64)
+    mag = (2 * np.abs(f) + q) // (2 * q)
+    lv = np.where(f < 0, -mag, mag).reshape(-1, 64)[:, tables.ZIGZAG_ORDER]
+    segs = entropy_host.encode_scan(
+        lv.astype(np.int32), pad_ones=cfg.pad_ones
+    )
+    oracle = jfif.assemble(img.shape[1], img.shape[0], cfg, segs)
+    assert dev == oracle
+
+
+def test_int32_color_on_silicon_stable_and_equals_host_entropy():
+    img = _rgb(96, 112, seed=22)
+    for ss in ("420", "444"):
+        cfg_d = EncodeConfig(subsampling=ss, dct_dtype="int32",
+                             entropy="device")
+        cfg_h = EncodeConfig(subsampling=ss, dct_dtype="int32",
+                             entropy="host")
+        a = color_pipeline.encode_color(img, cfg_d)
+        assert a == color_pipeline.encode_color(img, cfg_d)
+        assert a == color_pipeline.encode_color(img, cfg_h)
+
+
+def test_int32_batch_on_silicon_equals_singles():
+    cfg = EncodeConfig(dct_dtype="int32")
+    imgs = [_gray(64, 512, seed=50 + s) for s in range(3)]
+    outs = batch.encode_grayscale_batch(imgs, cfg)
+    for im, o in zip(imgs, outs):
+        assert o == pipeline.encode_grayscale(im, cfg)
