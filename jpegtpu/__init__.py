@@ -17,6 +17,7 @@ __all__ = [
     "encode_file",
     "encode_grayscale",
     "encode_color",
+    "encode_stream",
     "grayscale_coefficients",
 ]
 
@@ -29,3 +30,11 @@ def encode_color(image, config=None):
     from . import color_pipeline
 
     return color_pipeline.encode_color(image, config)
+
+
+def encode_stream(images, config=None, *, color=False, depth=2):
+    """Pipelined serving encode: overlap device compute of image i+1
+    with host fetch/stuff/assembly of image i (see jpegtpu.serving)."""
+    from . import serving
+
+    return serving.encode_stream(images, config, color=color, depth=depth)

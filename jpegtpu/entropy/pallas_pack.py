@@ -415,7 +415,8 @@ def encode_blocks_pallas(zz, dc_diff, cap: int = 8, table: int = 0,
     return words_out, bits_out, overflow
 
 
-def _merge_kernel(w_ref, b_ref, out_ref, bits_ref, *, e: int, cap_in: int):
+def _merge_kernel(w_ref, b_ref, out_ref, bits_ref, *, e: int, cap_in: int,
+                  single_store: bool = False):
     """Merge `e` packed streams per lane into one stream.
 
     w_ref [e, cap_in, 8, 128] u32 (MSB-aligned streams; words past each
@@ -449,8 +450,13 @@ def _merge_kernel(w_ref, b_ref, out_ref, bits_ref, *, e: int, cap_in: int):
             for p in range(j, hi_pos + 1):
                 frame[p] = frame[p] | jnp.where(base == p - j, v, 0)
         off = off + b_ref[s]
-    for j in range(cap_out):
-        out_ref[j] = frame[j]
+    if single_store:
+        # see _merge_mcu_kernel: >32 chained per-index stores cycle the
+        # XLA:CPU algebraic simplifier in interpret mode
+        out_ref[...] = jnp.stack(frame, axis=0)
+    else:
+        for j in range(cap_out):
+            out_ref[j] = frame[j]
     bits_ref[0] = off
 
 
@@ -466,7 +472,8 @@ def merge_streams_pallas(w_raw, b_raw, interpret: bool = False):
     registers (dsp huffman.c:113-156)."""
     g, e, cap_in = w_raw.shape[:3]
     out, bits = pl.pallas_call(
-        functools.partial(_merge_kernel, e=e, cap_in=cap_in),
+        functools.partial(_merge_kernel, e=e, cap_in=cap_in,
+                          single_store=interpret),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((None, e, cap_in, SUBLANES, LANES),
@@ -508,7 +515,7 @@ def _realign_mats():
 
 def _merge_mcu_kernel(mats_ref, y_ref, by_ref, cb_ref, bcb_ref, cr_ref,
                       bcr_ref, out_ref, bits_ref, *, cap: int, fy: int,
-                      fx: int):
+                      fx: int, single_store: bool = False):
     """One MCU-grid group step: interleave-merge E = fy*fx + 2 per-block
     streams straight from NATURAL grid layouts.
 
@@ -622,8 +629,15 @@ def _merge_mcu_kernel(mats_ref, y_ref, by_ref, cb_ref, bcb_ref, cr_ref,
             for p in range(j, hi_pos + 1):
                 frame[p] = frame[p] | jnp.where(base == p - j, v, 0)
         off = off + bts
-    for j in range(cap_out):
-        out_ref[j] = frame[j]
+    if single_store:
+        # Interpret mode: one stacked store. cap_out (48 for 4:2:0)
+        # chained per-index stores lower to dynamic-update-slices whose
+        # rewrite pattern cycles XLA:CPU's algebraic simplifier (see
+        # ops/pallas_transform._store_zigzag).
+        out_ref[...] = jnp.stack(frame, axis=0)
+    else:
+        for j in range(cap_out):
+            out_ref[j] = frame[j]
     bits_ref[...] = off
 
 
@@ -657,7 +671,8 @@ def merge_mcu_natural_pallas(w_y, b_y, w_c, b_c, nrg_c: int, ncg_c: int,
     bc5 = b_c.reshape(2, nrg_c, ncg_c, SUBLANES, LANES)
     mats = jnp.asarray(_realign_mats())
     out, bits = pl.pallas_call(
-        functools.partial(_merge_mcu_kernel, cap=cap, fy=fy, fx=fx),
+        functools.partial(_merge_mcu_kernel, cap=cap, fy=fy, fx=fx,
+                          single_store=interpret),
         grid=(nrg_c, ncg_c),
         in_specs=[
             pl.BlockSpec((4, LANES, LANES), lambda a, b: (0, 0, 0),

@@ -113,41 +113,74 @@ for _k, (_u, _v) in enumerate(
     _ZZ_OF_UV[_u, _v] = _k
 
 
-def _transform_kernel(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
-    """[64, 1024] u8 pixels -> [64, 8, 128] i32 zigzag levels."""
-    # Mosaic has no direct u8->f32 cast; widen to i32 first.
-    x = x_ref[...].astype(jnp.int32).astype(jnp.float32) - 128.0
-    y = jax.lax.dot(
-        colb_ref[...], x, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    rowb = rowb_ref[...]
-    q = q_ref[...]
-    chunks = []
-    for c in range(TILE_W // LANES):
-        z = jax.lax.dot(
-            y[:, c * LANES : (c + 1) * LANES], rowb,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        s = z / q
-        # round-half-away == truncate-toward-zero after +/-0.5 bias
-        # (floor(s+.5) for s>=0, ceil(s-.5) for s<0 — identical values,
-        # two fewer vector passes than the floor/ceil/select chain).
-        lv = (s + jnp.where(s >= 0, 0.5, -0.5)).astype(jnp.int32)
-        chunks.append(lv)
+def _store_zigzag(out_ref, chunks, single_store: bool):
+    """Place coefficient (u, v) windows at their zigzag index.
+
+    single_store=False (Mosaic/TPU): 64 individual aligned vector stores
+    — the kernel's whole point (zigzag placement as the store pattern).
+    single_store=True (interpret mode): one stacked store. Interpret
+    lowering turns per-index stores into 64 chained dynamic-update-slices
+    whose rewrite pattern cycles XLA:CPU's algebraic simplifier ("stuck
+    in a circular simplification loop ... 50 runs" at every compile, and
+    ~1.7x the compile time — measured; >32 chained DUS triggers it)."""
+    wins = [None] * 64
     for u in range(8):
         for v in range(8):
-            out_ref[int(_ZZ_OF_UV[u, v])] = jnp.concatenate(
+            wins[int(_ZZ_OF_UV[u, v])] = jnp.concatenate(
                 [
                     ch[8 * u : 8 * u + 8, 16 * v : 16 * v + 16]
                     for ch in chunks
                 ],
                 axis=1,
             )
+    if single_store:
+        out_ref[...] = jnp.stack(wins, axis=0)
+    else:
+        for c in range(64):
+            out_ref[c] = wins[c]
 
 
-def _transform_kernel_int(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
+def _make_transform_kernel(single_store: bool):
+    def _transform_kernel(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
+        """[64, 1024] u8 pixels -> [64, 8, 128] i32 zigzag levels."""
+        # Mosaic has no direct u8->f32 cast; widen to i32 first.
+        x = x_ref[...].astype(jnp.int32).astype(jnp.float32) - 128.0
+        y = jax.lax.dot(
+            colb_ref[...], x, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        rowb = rowb_ref[...]
+        q = q_ref[...]
+        chunks = []
+        for c in range(TILE_W // LANES):
+            z = jax.lax.dot(
+                y[:, c * LANES : (c + 1) * LANES], rowb,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            s = z / q
+            # round-half-away == truncate-toward-zero after +/-0.5 bias
+            # (floor(s+.5) for s>=0, ceil(s-.5) for s<0 — identical
+            # values, two fewer vector passes than the
+            # floor/ceil/select chain).
+            lv = (s + jnp.where(s >= 0, 0.5, -0.5)).astype(jnp.int32)
+            chunks.append(lv)
+        _store_zigzag(out_ref, chunks, single_store)
+
+    return _transform_kernel
+
+
+def _make_transform_kernel_int(single_store: bool):
+    def _transform_kernel_int(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
+        _transform_kernel_int_body(
+            x_ref, colb_ref, rowb_ref, q_ref, out_ref, single_store
+        )
+
+    return _transform_kernel_int
+
+
+def _transform_kernel_int_body(x_ref, colb_ref, rowb_ref, q_ref, out_ref,
+                               single_store):
     """Integer-mode twin of `_transform_kernel`: bit-identical to
     ops/int_transform.transform_tiled_int on every backend.
 
@@ -188,15 +221,7 @@ def _transform_kernel_int(x_ref, colb_ref, rowb_ref, q_ref, out_ref):
         k = k - (k * d > t).astype(jnp.int32)
         k = k + ((k + 1) * d <= t).astype(jnp.int32)
         chunks.append(jnp.where(f < 0, -k, k))
-    for u in range(8):
-        for v in range(8):
-            out_ref[int(_ZZ_OF_UV[u, v])] = jnp.concatenate(
-                [
-                    ch[8 * u : 8 * u + 8, 16 * v : 16 * v + 16]
-                    for ch in chunks
-                ],
-                axis=1,
-            )
+    _store_zigzag(out_ref, chunks, single_store)
 
 
 def padded_dims_kernel(h: int, w: int) -> tuple[int, int]:
@@ -229,7 +254,9 @@ def transform_plane_raw(img, qtable, bitexact: bool = True,
         colb, rowb = _permuted_bases(bitexact)
         qpat = _quant_pattern(qtable)
     out = pl.pallas_call(
-        _transform_kernel_int if int_mode else _transform_kernel,
+        _make_transform_kernel_int(interpret)
+        if int_mode
+        else _make_transform_kernel(interpret),
         grid=(nrg, ncg),
         in_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
