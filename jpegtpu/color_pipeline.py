@@ -735,7 +735,8 @@ def _encode_color_optimized_device(
         for kind in ("lum", "chrom")
     )
     host_stuff = config.stuff == "host" and pipeline._native_available()
-    for cap in pipeline.capacity_ladder(config):
+    key = (ph, pw, config, "color-opt")
+    for cap in pipeline.capacity_ladder(config, key):
         if cap > 16:
             break
         fn = _encode_color_device_rt(ph, pw, config, cap, not host_stuff)
@@ -747,10 +748,12 @@ def _encode_color_optimized_device(
                 out, count, overflowed, spec_key=(ph, pw, config, "opt")
             )
             if words is not None:
+                pipeline.record_cap(key, cap)
                 seg = native.words_to_stuffed(words, total_bits)
                 return jfif.assemble(w, h, config, [seg],
                                      huffman_specs=specs)
         elif not bool(overflowed):
+            pipeline.record_cap(key, cap)
             seg = pipeline.fetch_prefix(out, count).tobytes()
             return jfif.assemble(w, h, config, [seg], huffman_specs=specs)
     # Pathological content past the raw-path capacity: host 2-pass. The
@@ -811,7 +814,8 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
 
         img_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0)))
         host_stuff = config.stuff == "host" and pipeline._native_available()
-        for cap in pipeline.capacity_ladder(config):
+        key = (ph, pw, config, "color")
+        for cap in pipeline.capacity_ladder(config, key):
             fn = _encode_color_device(ph, pw, config, cap, stuff=not host_stuff)
             out, count, overflowed = fn(img_dev)
             if host_stuff:
@@ -821,9 +825,11 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
                     out, count, overflowed, spec_key=(ph, pw, config)
                 )
                 if words is not None:
+                    pipeline.record_cap(key, cap)
                     seg = native.words_to_stuffed(words, total_bits)
                     return jfif.assemble(w, h, config, [seg])
             elif not bool(overflowed):
+                pipeline.record_cap(key, cap)
                 seg = pipeline.fetch_prefix(out, count).tobytes()
                 return jfif.assemble(w, h, config, [seg])
         raise AssertionError("worst-case entropy capacity overflowed (bug)")

@@ -312,26 +312,56 @@ def _encode_restart_segments_device(
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
         image = np.pad(image, pad, mode="edge")
     img_dev = jnp.asarray(image)
-    for cap in capacity_ladder(config):
+    key = (ph, pw, config, is_rgb, "restart")
+    for cap in capacity_ladder(config, key):
         fn = _encode_gray_restart_device(ph, pw, config, is_rgb, cap)
         streams, totals, overflow = fn(img_dev)
         if not bool(overflow):
+            record_cap(key, cap)
             streams, totals = jax.device_get((streams, totals))
             return segments_from_streams(streams, totals)
     raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
 
-def capacity_ladder(config: EncodeConfig) -> tuple[int, ...]:
+_CAP_HISTORY_MAX = 4096
+_cap_history: dict = {}  # encode-site key -> last rung that fit
+
+
+def capacity_ladder(
+    config: EncodeConfig, key=None
+) -> tuple[int, ...]:
     """Overflow-retry capacity schedule (words per block): the configured
     heuristic, then a middle bucket, then the absolute worst case. The
     middle bucket (16 words = 8 bpp, still fused-kernel eligible) caps the
     worst-case capacity jump for pathological content at ~2x instead of
-    the 6.6x straight to MAX_WORDS_PER_BLOCK."""
-    ladder = [config.capacity_words_per_block]
+    the 6.6x straight to MAX_WORDS_PER_BLOCK.
+
+    key: optional encode-site key (shape + config). When content at this
+    site previously overflowed the heuristic rung, the ladder starts at
+    the rung that fit (`record_cap`) — recurring pathological content
+    (a serving stream of Q=1 noise) pays the retry dispatch ONCE, not
+    per image. Normal content never bumps, so the history is inert for
+    it."""
+    start = config.capacity_words_per_block
+    if key is not None:
+        start = max(start, _cap_history.get(key, 0))
+    ladder = [start]
     if ladder[-1] < 16:
         ladder.append(16)
-    ladder.append(entropy_device.MAX_WORDS_PER_BLOCK)
+    if ladder[-1] < entropy_device.MAX_WORDS_PER_BLOCK:
+        ladder.append(entropy_device.MAX_WORDS_PER_BLOCK)
     return tuple(ladder)
+
+
+def record_cap(key, cap: int) -> None:
+    """Remember the capacity rung that fit at this encode site (LRU
+    bounded; a serving process must not leak)."""
+    if key is None:
+        return
+    _cap_history.pop(key, None)
+    _cap_history[key] = cap
+    while len(_cap_history) > _CAP_HISTORY_MAX:
+        _cap_history.pop(next(iter(_cap_history)))
 
 
 _SPEC_BYTES = 1 << 21  # default speculation when no history exists
@@ -410,7 +440,8 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
         image = np.pad(image, pad, mode="edge")
     img_dev = jnp.asarray(image)
     host_stuff = config.stuff == "host" and _native_available()
-    for cap in capacity_ladder(config):
+    key = (ph, pw, config, is_rgb)
+    for cap in capacity_ladder(config, key):
         fn = _encode_gray_device(
             ph, pw, config, is_rgb, cap, stuff=not host_stuff,
         )
@@ -422,8 +453,10 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
                 out, count, overflowed, spec_key=(ph, pw, config)
             )
             if words is not None:
+                record_cap(key, cap)
                 return native.words_to_stuffed(words, total_bits)
         elif not bool(overflowed):
+            record_cap(key, cap)
             return fetch_prefix(out, count).tobytes()
     raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
@@ -518,7 +551,8 @@ def _encode_grayscale_optimized_device(
         )
     )
     host_stuff = config.stuff == "host" and _native_available()
-    for cap in capacity_ladder(config):
+    key = (ph, pw, config, is_rgb, "opt")
+    for cap in capacity_ladder(config, key):
         if cap > 16:
             break  # runtime tables ride the raw path only
         fn = _encode_gray_device_rt(
@@ -532,10 +566,12 @@ def _encode_grayscale_optimized_device(
                 out, count, overflowed, spec_key=(ph, pw, config, "opt")
             )
             if words is not None:
+                record_cap(key, cap)
                 seg = native.words_to_stuffed(words, total_bits)
                 return jfif.assemble(w, h, config, [seg],
                                      huffman_specs=specs)
         elif not bool(overflowed):
+            record_cap(key, cap)
             seg = fetch_prefix(out, count).tobytes()
             return jfif.assemble(w, h, config, [seg], huffman_specs=specs)
     # Pathological content past the raw-path capacity: host 2-pass. The

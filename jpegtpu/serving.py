@@ -42,7 +42,9 @@ def _submit_gray(image: np.ndarray, cfg: EncodeConfig, host_stuff: bool):
     if (ph, pw) != (h, w):
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
         image = np.pad(image, pad, mode="edge")
-    cap = pipeline.capacity_ladder(cfg)[0]
+    # same history key as the blocking encoder (_encode_segment_device):
+    # an overflow discovered by the fallback teaches later submissions.
+    cap = pipeline.capacity_ladder(cfg, (ph, pw, cfg, is_rgb))[0]
     fn = pipeline._encode_gray_device(
         ph, pw, cfg, is_rgb, cap, stuff=not host_stuff
     )
@@ -62,7 +64,8 @@ def _submit_color(image: np.ndarray, cfg: EncodeConfig, host_stuff: bool):
         image = np.pad(
             image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge"
         )
-    cap = pipeline.capacity_ladder(cfg)[0]
+    # same history key as color_pipeline.encode_color's device site
+    cap = pipeline.capacity_ladder(cfg, (ph, pw, cfg, "color"))[0]
     fn = color_pipeline._encode_color_device(
         ph, pw, cfg, cap, stuff=not host_stuff
     )

@@ -75,9 +75,10 @@ def test_stream_overflow_image_falls_back_correctly():
     still come back byte-equal to the blocking ladder encode, without
     disturbing its neighbors."""
     rng = np.random.default_rng(0)
-    # Q=1 noise maximizes symbol entropy -> overflows the heuristic cap
+    # Q=100 (quant divisors ~1) noise maximizes stream size ->
+    # overflows the heuristic capacity rung
     hot = rng.integers(0, 256, (48, 64), np.uint8)
-    cfg = EncodeConfig(quality=1)
+    cfg = EncodeConfig(quality=100)
     imgs = [_gray(48, 64, 50), hot, _gray(48, 64, 51)]
     outs = list(serving.encode_stream(imgs, cfg, depth=2))
     for im, o in zip(imgs, outs):
@@ -87,3 +88,22 @@ def test_stream_overflow_image_falls_back_correctly():
 def test_stream_depth_validation():
     with pytest.raises(ValueError):
         list(serving.encode_stream([_gray(8, 8, 0)], depth=0))
+
+
+def test_capacity_history_learns_from_overflow():
+    """Content-adaptive capacity: after one image at a (shape, config)
+    site overflows the heuristic rung, later encodes there start at the
+    rung that fit — no retry dispatch per image for a stream of
+    pathological content."""
+    rng = np.random.default_rng(1)
+    hot = rng.integers(0, 256, (40, 48), np.uint8)
+    cfg = EncodeConfig(quality=100)
+    ref = pipeline.encode_grayscale(hot, cfg)  # pays the retry, records
+    from jpegtpu.ops import blocks
+
+    key = (*blocks.padded_dims(40, 48), cfg, False)
+    assert pipeline._cap_history.get(key, 0) > cfg.capacity_words_per_block
+    ladder = pipeline.capacity_ladder(cfg, key)
+    assert ladder[0] == pipeline._cap_history[key]
+    # the adapted ladder still produces identical bytes
+    assert pipeline.encode_grayscale(hot, cfg) == ref
