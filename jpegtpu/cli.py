@@ -82,7 +82,20 @@ def _cmd_encode_dir(args) -> int:
         return 1
     images = [bmp_io.read(p) for p in paths]
     t0 = time.perf_counter()
-    if config.subsampling == "gray":
+    if getattr(args, "pipeline", 0):
+        # overlapped per-image dispatch (jpegtpu.serving): the right mode
+        # for directories of heterogeneous shapes, where batching buckets
+        # degenerate to one image each
+        from . import serving
+
+        outs = list(
+            serving.encode_stream(
+                images, config,
+                color=config.subsampling != "gray",
+                depth=args.pipeline,
+            )
+        )
+    elif config.subsampling == "gray":
         outs = batch.encode_grayscale_batch(images, config)
     else:
         outs = batch.encode_color_batch(images, config)
@@ -200,6 +213,12 @@ def main(argv=None) -> int:
     encd.add_argument("--quality", type=int, default=50)
     encd.add_argument(
         "--subsampling", choices=["gray", "420", "422", "444"], default="gray"
+    )
+    encd.add_argument(
+        "--pipeline", type=int, default=0, metavar="DEPTH",
+        help="overlapped per-image dispatch with DEPTH encodes in flight "
+        "(jpegtpu.serving) instead of shape-bucketed batching — for "
+        "directories of heterogeneous shapes on locally-attached chips",
     )
     encd.add_argument("--stats", action="store_true")
     encd.set_defaults(fn=_cmd_encode_dir)
