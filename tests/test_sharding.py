@@ -124,3 +124,25 @@ def test_restart_subsegments_awkward_geometry():
             assert r >= min(mpr, 0xFFFF), (rows, mpr, r)
         else:
             assert r == total
+
+
+def test_sharded_int32_stream_equals_host_restart_stream():
+    """The int32 determinism claim across CHIP COUNTS: an 8-way sharded
+    int32 encode must byte-equal the single-device host coder at the
+    same restart interval (integer transform -> no mesh/backend can
+    split a rounding tie)."""
+    n = 8
+    h, w = 8 * n * 2, 64
+    img = _image(h, w, seed=11)
+    mcu_per_shard = (h // n // 8) * (w // 8)
+    cfg = EncodeConfig(dct_dtype="int32")
+    got = sharding.encode_grayscale_sharded(img, cfg, mesh=_mesh(n))
+    want = pipeline.encode_grayscale(
+        img,
+        EncodeConfig(
+            dct_dtype="int32",
+            restart_interval=mcu_per_shard,
+            entropy="host",
+        ),
+    )
+    assert got == want
