@@ -267,3 +267,24 @@ def test_int32_batch_on_silicon_equals_singles():
     outs = batch.encode_grayscale_batch(imgs, cfg)
     for im, o in zip(imgs, outs):
         assert o == pipeline.encode_grayscale(im, cfg)
+
+
+def test_treepack_fallback_on_silicon(monkeypatch):
+    """Images past the VMEM budget take the XLA treepack concat instead
+    of the Pallas streaming concat (pipeline._gray_encode_body_raw's
+    fits_vmem branch) — force that branch on a small image and assert
+    byte parity, so the large-image path is hardware-verified too."""
+    from jpegtpu.entropy import pallas_concat
+    from jpegtpu.entropy import host as entropy_host
+    from jpegtpu.io import jfif
+
+    monkeypatch.setattr(
+        pallas_concat, "fits_vmem", lambda *a, **k: False
+    )
+    img = _gray(104, 128, seed=60)
+    cfg = EncodeConfig()
+    dev = pipeline.encode_grayscale(img, cfg)
+    zz = pipeline.grayscale_coefficients(img, cfg)
+    segs = entropy_host.encode_scan(zz, pad_ones=cfg.pad_ones)
+    want = jfif.assemble(img.shape[1], img.shape[0], cfg, segs)
+    assert dev == want
