@@ -619,18 +619,16 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
     hby = fy * kh // 8  # Y block rows per band
     dc_y = pt.raw_to_scan(raw_y[:, :1], nbh_y, nbw_y, fx * ncg_c)[0]
     d = dc_y.reshape(b // r, hby, r, fx * nmcw).transpose(0, 2, 1, 3)
-    d = d[:, :, : fy * nmch]
-    d = (
-        d.reshape(b, nmch, fy, nmcw, fx)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(-1)
-    )
-    dcd = entropy_device.dc_differences(d, fy * fx * nmcu_im)
-    dcd_y_ras = (
-        dcd.reshape(b, nmch, nmcw, fy, fx)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(b, fy * nmch, fx * nmcw)
-    )
+    d = d[:, :, : fy * nmch].reshape(b, fy * nmch, fx * nmcw)
+    # per-image interleaved-scan DC diff in NATURAL raster layout
+    # (parity-masked shifts; see color_pipeline._y_dc_diff_natural —
+    # the scan-order transpose round trip has 2-wide minor dims the
+    # TPU layout pads ~64x)
+    from . import color_pipeline as _cp
+
+    dcd_y_ras = jax.vmap(
+        lambda x: _cp._y_dc_diff_natural(x, cfg.subsampling)
+    )(d)
     d = dcd_y_ras.reshape(b // r, r, fy * nmch, fx * nmcw)
     d = jnp.pad(d, ((0, 0), (0, 0), (0, hby - fy * nmch), (0, 0)))
     dcd_y_pl = d.transpose(0, 2, 1, 3).reshape(nbh_y * nbw_y)

@@ -234,6 +234,48 @@ def _dc_diff_slot_major(d_sm, period_mcu: int):
     return d_sm - prev
 
 
+def _y_dc_diff_natural(dc, subsampling: str):
+    """[R, C] raster Y-plane DCs -> scan-order DC differences, still in
+    [R, C] raster layout.
+
+    The interleaved scan's predecessor of each Y block is one of a few
+    STATIC neighbors determined by (row, col) parity, so the whole diff
+    is elementwise over shifted copies of the raster array — replacing
+    the raster->scan->diff->raster transpose round trip, whose
+    [nmch, 2, nmcw, 2] intermediates have 2-wide minor dims that the TPU
+    layout pads ~64x (measured 1.2 ms of the 4.0 ms 4:2:0 body).
+
+    4:2:0 (2x2 Y slots/MCU, scan order Y00 Y01 Y10 Y11, T.81 A.2.3):
+      col odd           -> pred = left       dc[r, c-1]
+      col even, row odd -> pred = up-right   dc[r-1, c+1]
+      col even, row even-> pred = down-left  dc[r+1, c-1]
+        (col == 0: wrap to the previous MCU row's last slot
+         dc[r-1, C-1]; the global first block (0, 0) has pred 0)
+    4:2:2 / 4:4:4: Y scan order IS raster order -> pred = left with the
+    same row wrap."""
+    r, c = dc.shape
+    left = jnp.pad(dc[:, :-1], ((0, 0), (1, 0)))
+    # wrap column: dc[r-1, C-1] per row (0 for row 0 == global first)
+    lastcol_up = jnp.pad(dc[:-1, -1], (1, 0))[:, None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+    if subsampling != "420":
+        pred = jnp.where(cols == 0, lastcol_up, left)
+        return dc - pred
+    up_right = jnp.pad(dc[:-1, 1:], ((1, 0), (0, 1)))
+    down_left = jnp.pad(dc[1:, :-1], ((0, 1), (1, 0)))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
+    pred = jnp.where(
+        cols % 2 == 1,
+        left,
+        jnp.where(
+            rows % 2 == 1,
+            up_right,
+            jnp.where(cols == 0, lastcol_up, down_left),
+        ),
+    )
+    return dc - pred
+
+
 def _dc_diff_rows(d, period_mcu: int):
     """DC differences with an INDEPENDENT chain per row (Cb and Cr are
     separate components sharing the chroma table), along the MCU axis."""
@@ -460,17 +502,16 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
     g = raw_c.shape[0] // 2
 
     # DC chains: Y follows the interleaved scan order (MCU raster, fy x fx
-    # slots within each MCU) — a reshape/transpose round trip on the tiny
-    # [nb] DC vectors, not on coefficient data.
+    # slots within each MCU). Computed in NATURAL raster layout with
+    # parity-masked shifts (_y_dc_diff_natural) — the obvious
+    # raster->scan->diff->raster transpose round trip has [., 2]-minor
+    # dims that XLA pads ~64x (measured: 1.2 ms of the 4.0 ms 4:2:0
+    # body at 12 MPix, the single largest line item after the packs).
     nbh_y, nbw_y = fy * nmch, fx * nmcw
     dc_y = pt.raw_to_scan(raw_y[:, :1], nbh_y, nbw_y, fx * ncg)[0]
-    d2 = dc_y.reshape(nmch, fy, nmcw, fx).transpose(0, 2, 1, 3).reshape(-1)
-    dcd_mcu = entropy_device.dc_differences(d2, 0)
-    dcd_nat = (
-        dcd_mcu.reshape(nmch, nmcw, fy, fx)
-        .transpose(0, 2, 1, 3)
-        .reshape(nbh_y * nbw_y)
-    )
+    dcd_nat = _y_dc_diff_natural(
+        dc_y.reshape(nbh_y, nbw_y), cfg.subsampling
+    ).reshape(-1)
     dcd_y_raw = pt.scan_to_raw(dcd_nat, nbh_y, nbw_y, fx * ncg)
     raw_c5 = raw_c.reshape(2, g, 64, pt.SUBLANES, pt.LANES)
     dc_c = jnp.stack(
