@@ -24,41 +24,51 @@ from .ops import blocks
 from . import pipeline
 
 
-def _gray_pack_ratio(pw: int) -> int:
-    """Images per 1024-lane plane tile for the gray raw batch path
-    (0 = no exact packing; the staged path applies)."""
-    from .ops import pallas_transform as pt
-
-    if pw % pt.TILE_W == 0:
-        return 1
-    if pt.TILE_W % pw == 0 and pw >= 8 * 16:
-        return pt.TILE_W // pw
-    return 0
+def _slot_geom(nbw: int) -> tuple[int, int, int]:
+    """Slot geometry for packing images of block width nbw into 128-lane
+    plane tiles: (wsb, r, ncg). wsb = slot width in BLOCKS; narrow images
+    round up to a power-of-two slot (>= 16 lanes, the merge kernel's
+    chunk granule) and pack r = 128/wsb side by side; wide images get
+    r = 1 with ncg = ceil(nbw/128) column groups. Widths that don't fill
+    their slot ride with MASKED pad lanes (zero-bit lanes contribute
+    nothing to the chunk merge), so ANY geometry packs — the r3 path
+    required exact ratios and silently demoted 760- or 640-wide batches
+    to the ~2x slower staged path (VERDICT r3 #2)."""
+    if nbw > 64:
+        ncg = -(-nbw // 128)
+        return 128 * ncg, 1, ncg
+    wsb = 16
+    while wsb < nbw:
+        wsb *= 2
+    return wsb, 128 // wsb, 1
 
 
 def _gray_raw_ok(local_bsz: int, ph: int, pw: int, cfg: EncodeConfig,
                  cap: int) -> bool:
-    """Whether the all-Pallas gray batch body applies: exact packing
-    ratio, bounded per-image rows per segment, stream buffer in VMEM."""
+    """Whether the all-Pallas gray batch body applies: per-device batch
+    divisible by the packing ratio, bounded per-image rows per segment,
+    stream buffer in VMEM."""
     from .ops import pallas_transform as pt
 
-    r = _gray_pack_ratio(pw)
+    wsb, r, ncg = _slot_geom(pw // 8)
     nb = (ph // 8) * (pw // 8)
     rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)
-    rps = rows_pp * (pw // pt.TILE_W if r == 1 else 1)
+    rps = rows_pp * (ncg if r == 1 else 1)
     return (
-        cap <= 16 and r > 0
-        and (r == 1 or local_bsz % r == 0)
+        cap <= 16
+        and local_bsz % r == 0
         and rps <= 256
         and (nb * cap // 128 + cap + 8) * 512 <= 12 << 20
     )
 
 
 def _gray_batch_plane_raw(imgs, cfg: EncodeConfig, is_rgb: bool, ph: int,
-                          pw: int, r: int):
+                          pw: int):
     """Packed-plane Pallas transform + per-image DC chains for the gray
     batch: [b, ph, pw(,3)] -> (raw [G, 64, 8, 128], dcd [b*nb] i32 in
-    per-image raster order, dcd_raw [G, 8, 128], geom dict).
+    per-image raster order, dcd_raw [G, 8, 128], geom dict). Each image
+    occupies a wsb-block slot (_slot_geom); widths short of the slot are
+    zero-padded here and masked out downstream.
 
     SHARED by the batch body and optimize_huffman pass 1: pass 1 must
     histogram exactly the levels pass 2 encodes (an XLA/Pallas rounding
@@ -67,18 +77,20 @@ def _gray_batch_plane_raw(imgs, cfg: EncodeConfig, is_rgb: bool, ph: int,
     from .ops import color as color_ops
     from .ops import pallas_transform as pt
 
+    wsb, r, _ = _slot_geom(pw // 8)
     b = imgs.shape[0]
     if is_rgb:
         imgs = jax.vmap(color_ops.rgb_to_y_reference)(imgs)
     rows_pp = -(-ph // pt.TILE_H) * (pt.TILE_H // 8)  # block rows/img
     ph_pad = rows_pp * 8
-    if ph_pad != ph:
-        imgs = jnp.pad(imgs, ((0, 0), (0, ph_pad - ph), (0, 0)))
-    # side-by-side packing: [B, ph_pad, pw] -> [B/r * ph_pad, r*pw]
+    wpx = wsb * 8  # slot width in pixels
+    if (ph_pad, wpx) != (ph, pw):
+        imgs = jnp.pad(imgs, ((0, 0), (0, ph_pad - ph), (0, wpx - pw)))
+    # side-by-side packing: [B, ph_pad, wpx] -> [B/r * ph_pad, r*wpx]
     plane = (
-        imgs.reshape(b // r, r, ph_pad, pw)
+        imgs.reshape(b // r, r, ph_pad, wpx)
         .transpose(0, 2, 1, 3)
-        .reshape(b // r * ph_pad, r * pw)
+        .reshape(b // r * ph_pad, r * wpx)
     )
     interp = jax.default_backend() == "cpu"
     int_mode = cfg.dct_dtype == "int32"
@@ -89,23 +101,25 @@ def _gray_batch_plane_raw(imgs, cfg: EncodeConfig, is_rgb: bool, ph: int,
         ),
         cfg.bitexact, interpret=interp, int_mode=int_mode,
     )
-    ncg = (r * pw) // pt.TILE_W
-    nbh_pl, nbw_pl = (b // r) * rows_pp, (r * pw) // 8
+    ncg = (r * wpx) // pt.TILE_W  # plane column groups (ncg of _slot_geom
+    # when r == 1; exactly 1 when slots pack side by side)
+    nbh_pl, nbw_pl = (b // r) * rows_pp, (r * wpx) // 8
     nbh_im, nbw_im = ph // 8, pw // 8
     nb = nbh_im * nbw_im
 
-    # per-image DC chains on the small DC vectors
+    # per-image DC chains on the small DC vectors (valid rows AND cols)
     dc_pl = pt.raw_to_scan(raw[:, :1], nbh_pl, nbw_pl, ncg)[0]
-    dc4 = dc_pl.reshape(b // r, rows_pp, r, nbw_im).transpose(0, 2, 1, 3)
-    dc_img = dc4[:, :, :nbh_im]  # [B/r, r, nbh_im, nbw_im] valid rows
+    dc4 = dc_pl.reshape(b // r, rows_pp, r, wsb).transpose(0, 2, 1, 3)
+    dc_img = dc4[:, :, :nbh_im, :nbw_im]  # [B/r, r, nbh_im, nbw_im]
     dcd = entropy_device.dc_differences(dc_img.reshape(-1), nb)
     dcd4 = jnp.pad(
         dcd.reshape(b // r, r, nbh_im, nbw_im),
-        ((0, 0), (0, 0), (0, rows_pp - nbh_im), (0, 0)),
+        ((0, 0), (0, 0), (0, rows_pp - nbh_im), (0, wsb - nbw_im)),
     )
     dcd_pl = dcd4.transpose(0, 2, 1, 3).reshape(nbh_pl * nbw_pl)
     dcd_raw = pt.scan_to_raw(dcd_pl, nbh_pl, nbw_pl, ncg)
-    geom = dict(rows_pp=rows_pp, ncg=ncg, nbh_pl=nbh_pl, nbw_pl=nbw_pl,
+    geom = dict(rows_pp=rows_pp, ncg=ncg, wsb=wsb, r=r,
+                nbh_pl=nbh_pl, nbw_pl=nbw_pl,
                 nbh_im=nbh_im, nbw_im=nbw_im)
     return raw, dcd, dcd_raw, geom
 
@@ -140,7 +154,7 @@ def _batch_encode_fn(
     cap = cap_words_per_block
     from .ops import pallas_transform as pt
 
-    r = _gray_pack_ratio(pw)
+    wsb, r, _ = _slot_geom(pw // 8)
     local_bsz = bsz if mesh is None else bsz // mesh.devices.size
     raw_ok = _gray_raw_ok(local_bsz, ph, pw, cfg, cap)
     assert raw_ok or not rt, "runtime tables ride the raw path only"
@@ -148,15 +162,17 @@ def _batch_encode_fn(
     def encode_local_raw(imgs, tabs=None):
         """All-Pallas batch body: images pack r-up into one plane for the
         fused transform + pack kernels; the chunked row merge (ws = the
-        per-image block-row width) keeps each image's stream separate,
-        and the per-segment streaming concat emits one stream per image.
-        No vmapped XLA levels, no [B*nb, 64] coefficient relayouts."""
+        slot width in blocks) keeps each image's stream separate, pad
+        lanes (width short of the slot) and pad rows are masked to zero
+        bits so they vanish in the merge, and the per-segment streaming
+        concat emits one stream per image. No vmapped XLA levels, no
+        [B*nb, 64] coefficient relayouts."""
         from .entropy import pallas_concat, pallas_pack, treepack
         from .ops.scan import cumsum_1d
 
         b = imgs.shape[0]
         raw, _dcd, dcd_raw, gm = _gray_batch_plane_raw(
-            imgs, cfg, is_rgb, ph, pw, r
+            imgs, cfg, is_rgb, ph, pw
         )
         g = raw.shape[0]
         rows_pp, ncg = gm["rows_pp"], gm["ncg"]
@@ -167,17 +183,24 @@ def _batch_encode_fn(
             raw, dcd_raw, cap=cap, table=0, custom_tables=tabs,
             interpret=interp, raw=True,
         )
-        # zero out per-image pad rows (blocks beyond ph//8): block row of
-        # lane-row (g, s) is (g // ncg) * 8 + s, per-image via % rows_pp
+        # zero out per-image pad rows (blocks beyond ph//8; block row of
+        # lane-row (g, s) is (g // ncg) * 8 + s, per-image via % rows_pp)
+        # AND pad lanes (block cols beyond pw//8 within the slot)
         gi = jnp.arange(g)
         si = jnp.arange(8)
+        li = jnp.arange(pallas_concat.LANES)
         br = ((gi[:, None] // ncg) * 8 + si[None, :]) % rows_pp
-        valid_row = (br < nbh_im)[:, :, None]
-        b_m = jnp.where(valid_row, b_raw, 0)
-        w_m = jnp.where(valid_row[:, None], w_raw, 0)
+        valid = (br < nbh_im)[:, :, None]
+        if r > 1:
+            valid = valid & ((li % wsb) < nbw_im)[None, None, :]
+        else:
+            col = (gi % ncg)[:, None, None] * pallas_concat.LANES + li
+            valid = valid & (col < nbw_im)
+        b_m = jnp.where(valid, b_raw, 0)
+        w_m = jnp.where(valid[:, None], w_raw, 0)
         overflow = jnp.any(b_m > cap * 32)
 
-        ws = nbw_im if r > 1 else pallas_concat.LANES
+        ws = wsb if r > 1 else pallas_concat.LANES
         segs = pallas_concat.merge_sublanes_pallas(
             w_m, b_m, ws=ws, interpret=interp
         )  # [G, 8, R, 128]
@@ -311,17 +334,16 @@ def _batch_gray_stats_fn(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
     chains and kernel-pad blocks excluded."""
     from .ops import pallas_transform as pt
 
-    r = _gray_pack_ratio(pw)
-    assert r > 0
+    _, r, _ = _slot_geom(pw // 8)
     nb = (ph // 8) * (pw // 8)
 
     def stats_local(imgs, valid_img):
         b = imgs.shape[0]
-        raw, dcd, _, gm = _gray_batch_plane_raw(imgs, cfg, is_rgb, ph, pw, r)
+        raw, dcd, _, gm = _gray_batch_plane_raw(imgs, cfg, is_rgb, ph, pw)
         zz_pl = pt.raw_to_scan(raw, gm["nbh_pl"], gm["nbw_pl"], gm["ncg"]).T
         z = (
-            zz_pl.reshape(b // r, gm["rows_pp"], r, gm["nbw_im"], 64)
-            .transpose(0, 2, 1, 3, 4)[:, :, : gm["nbh_im"]]
+            zz_pl.reshape(b // r, gm["rows_pp"], r, gm["wsb"], 64)
+            .transpose(0, 2, 1, 3, 4)[:, :, : gm["nbh_im"], : gm["nbw_im"]]
             .reshape(-1, 64)
         )
         # bucket-padding images must not bias the shared tables
@@ -368,8 +390,8 @@ def _encode_gray_batch_optimized(
 
     out: list[bytes | None] = [None] * len(images)
     for (ph, pw, is_rgb), idxs in groups.items():
-        r = _gray_pack_ratio(pw)
-        unit = max(r, 1) * (mesh.devices.size if mesh is not None else 1)
+        _, r, _ = _slot_geom(pw // 8)
+        unit = r * (mesh.devices.size if mesh is not None else 1)
         bsz = -(-_bucket_batch(len(idxs)) // unit) * unit
         local = bsz if mesh is None else bsz // mesh.devices.size
         if not _gray_raw_ok(local, ph, pw, config, 8):
@@ -396,7 +418,13 @@ def _encode_gray_batch_optimized(
                 arr, valid_img
             )
         )
-        freqs = entropy_device.assemble_histograms(stats)
+        # FLOORED frequencies: pass 1 and pass 2 are separately compiled
+        # XLA programs (tables.floor_frequencies documents the hazard —
+        # a cross-program rounding tie must never select a code-less
+        # symbol).
+        freqs = tables.floor_frequencies(
+            entropy_device.assemble_histograms(stats)
+        )
         specs = {
             k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")
         }
@@ -447,15 +475,15 @@ def _batch_color_stats_fn(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
             imgs, cfg, ph, pw
         )
         fy, fx, r = gm["fy"], gm["fx"], gm["r"]
-        nmch, nmcw = gm["nmch"], gm["nmcw"]
+        nmch, nmcw, wsb_c = gm["nmch"], gm["nmcw"], gm["wsb_c"]
         hby, hbc = gm["hby"], gm["hbc"]
         ny_im = fy * fx * gm["nmcu_im"]
         nc_im = gm["nmcu_im"]
 
         zy = (
             pt.raw_to_scan(raw_y, gm["nbh_y"], gm["nbw_y"], fx * gm["ncg_c"])
-            .T.reshape(b // r, hby, r, fx * nmcw, 64)
-            .transpose(0, 2, 1, 3, 4)[:, :, : fy * nmch]
+            .T.reshape(b // r, hby, r, fx * wsb_c, 64)
+            .transpose(0, 2, 1, 3, 4)[:, :, : fy * nmch, : fx * nmcw]
             .reshape(-1, 64)
         )
         raw_c5 = raw_c.reshape(2, gm["gc"], 64, pt.SUBLANES, pt.LANES)
@@ -464,8 +492,8 @@ def _batch_color_stats_fn(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
             zc.append(
                 pt.raw_to_scan(raw_c5[i], gm["nbh_c"], gm["nbw_c"],
                                gm["ncg_c"])
-                .T.reshape(b // r, hbc, r, nmcw, 64)
-                .transpose(0, 2, 1, 3, 4)[:, :, :nmch]
+                .T.reshape(b // r, hbc, r, wsb_c, 64)
+                .transpose(0, 2, 1, 3, 4)[:, :, :nmch, :nmcw]
                 .reshape(-1, 64)
             )
         zz = jnp.concatenate([zy] + zc)
@@ -505,26 +533,13 @@ def _batch_color_stats_fn(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
     return jax.jit(sharded)
 
 
-def _color_pack_ratio(mw: int) -> int:
-    """Images per 1024-lane chroma tile for the batched raw color path:
-    r images pack side by side when r * mw == TILE_W; r = 1 needs
-    mw % TILE_W == 0 (vertical stacking only); 0 = no exact packing
-    (the staged path applies)."""
-    from .ops import pallas_transform as pt
-
-    if mw % pt.TILE_W == 0:
-        return 1
-    if pt.TILE_W % mw == 0:
-        return pt.TILE_W // mw
-    return 0
-
-
 def _color_raw_ok(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
                   cap: int) -> bool:
-    """Whether the all-Pallas batched color body applies: exact packing
-    ratio, first-rung capacity (the chunked row merge unrolls SR = E*cap
-    + 2 rows), bounded per-image stream buffer + per-step rows in VMEM."""
-    from . import color_pipeline as cp
+    """Whether the all-Pallas batched color body applies: per-device
+    batch divisible by the packing ratio (_slot_geom on the chroma block
+    width — any geometry packs, pad lanes are masked), first-rung
+    capacity (the chunked row merge unrolls SR = E*cap + 2 rows),
+    bounded per-image stream buffer + per-step rows in VMEM."""
     from .ops import pallas_transform as pt
 
     if cap > 8:
@@ -532,19 +547,18 @@ def _color_raw_ok(bsz: int, ph: int, pw: int, cfg: EncodeConfig,
     fy = 2 if cfg.subsampling == "420" else 1
     fx = 1 if cfg.subsampling == "444" else 2
     mh, mw = ph // fy, pw // fx
-    r = _color_pack_ratio(mw)
-    if r == 0 or bsz % r != 0:
+    wsb, r, ncg_c = _slot_geom(mw // 8)
+    if bsz % r != 0:
         return False
     kh = -(-mh // pt.TILE_H) * pt.TILE_H
-    ncg_c = (r * mw) // pt.TILE_W
-    rows_per_seg = (kh // 8) * ncg_c
+    rows_per_seg = (kh // 8) * (ncg_c if r == 1 else 1)
     if rows_per_seg > 256:
         return False
     mcap = (fy * fx + 2) * cap
     nmcu = (mh // 8) * (mw // 8)
     out_rows = -(-(nmcu * mcap) // 128) + mcap + 8
     # stream-rows kernel: per-step output block + double-buffered input
-    ws = mw // 8 if r > 1 else 128
+    ws = wsb if r > 1 else 128
     cr = -(-(ws * mcap + mcap + 2) // 128)
     step_bytes = rows_per_seg * cr * 128 * 4
     return out_rows * 512 + 2 * step_bytes <= 12 << 20
@@ -566,9 +580,10 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
     fy = 2 if cfg.subsampling == "420" else 1
     fx = 1 if cfg.subsampling == "444" else 2
     mh, mw = ph // fy, pw // fx
-    r = _color_pack_ratio(mw)
+    wsb_c, r, _ = _slot_geom(mw // 8)
     kh = -(-mh // pt.TILE_H) * pt.TILE_H
-    wc = r * mw  # stacked chroma width (multiple of TILE_W)
+    wpx_c = wsb_c * 8  # chroma slot width in pixels
+    wc = r * wpx_c  # stacked chroma width (multiple of TILE_W)
     ncg_c = wc // pt.TILE_W
     nmch, nmcw = mh // 8, mw // 8
     nmcu_im = nmch * nmcw
@@ -587,17 +602,20 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
         cb = color_ops.subsample_422(cb)
         cr = color_ops.subsample_422(cr)
 
-    def to_bands(plane, hh, wimg, khb):
-        # [b*hh, wimg] -> [b/r * khb, r*wimg]: r images side by side
-        # per band, each band's rows zero-padded to khb
+    def to_bands(plane, hh, wimg, khb, wslot):
+        # [b*hh, wimg] -> [b/r * khb, r*wslot]: r images side by side
+        # per band, rows zero-padded to khb and width to the wslot slot
+        # (pad blocks are masked downstream)
         x = plane.reshape(b // r, r, hh, wimg)
-        if khb != hh:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, khb - hh), (0, 0)))
-        return x.transpose(0, 2, 1, 3).reshape(b // r * khb, r * wimg)
+        if (khb, wslot) != (hh, wimg):
+            x = jnp.pad(
+                x, ((0, 0), (0, 0), (0, khb - hh), (0, wslot - wimg))
+            )
+        return x.transpose(0, 2, 1, 3).reshape(b // r * khb, r * wslot)
 
-    y_pl = to_bands(y.reshape(b, ph, pw), ph, pw, fy * kh)
-    cb_pl = to_bands(cb.reshape(b, mh, mw), mh, mw, kh)
-    cr_pl = to_bands(cr.reshape(b, mh, mw), mh, mw, kh)
+    y_pl = to_bands(y.reshape(b, ph, pw), ph, pw, fy * kh, fx * wpx_c)
+    cb_pl = to_bands(cb.reshape(b, mh, mw), mh, mw, kh, wpx_c)
+    cr_pl = to_bands(cr.reshape(b, mh, mw), mh, mw, kh, wpx_c)
 
     int_mode = cfg.dct_dtype == "int32"
     qdt = np.int32 if int_mode else np.float32
@@ -613,13 +631,16 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
 
     # --- per-image DC chains on the tiny DC vectors ---
     # Y: interleaved-scan order is (mcu_row, mcu_col, dy, dx) per
-    # image; kernel-pad rows (blocks >= fy*nmch in a band) get dcd = 0
-    # so pad blocks emit ~6-bit EOB-only streams.
-    nbh_y, nbw_y = (b // r) * fy * kh // 8, r * pw // 8
+    # image; kernel-pad rows (blocks >= fy*nmch in a band) and pad cols
+    # (blocks >= fx*nmcw in a slot) get dcd = 0 so pad blocks emit
+    # ~6-bit EOB-only streams.
+    nbh_y, nbw_y = (b // r) * fy * kh // 8, r * fx * wsb_c
     hby = fy * kh // 8  # Y block rows per band
     dc_y = pt.raw_to_scan(raw_y[:, :1], nbh_y, nbw_y, fx * ncg_c)[0]
-    d = dc_y.reshape(b // r, hby, r, fx * nmcw).transpose(0, 2, 1, 3)
-    d = d[:, :, : fy * nmch].reshape(b, fy * nmch, fx * nmcw)
+    d = dc_y.reshape(b // r, hby, r, fx * wsb_c).transpose(0, 2, 1, 3)
+    d = d[:, :, : fy * nmch, : fx * nmcw].reshape(
+        b, fy * nmch, fx * nmcw
+    )
     # per-image interleaved-scan DC diff in NATURAL raster layout
     # (parity-masked shifts; see color_pipeline._y_dc_diff_natural —
     # the scan-order transpose round trip has 2-wide minor dims the
@@ -630,7 +651,8 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
         lambda x: _cp._y_dc_diff_natural(x, cfg.subsampling)
     )(d)
     d = dcd_y_ras.reshape(b // r, r, fy * nmch, fx * nmcw)
-    d = jnp.pad(d, ((0, 0), (0, 0), (0, hby - fy * nmch), (0, 0)))
+    d = jnp.pad(d, ((0, 0), (0, 0), (0, hby - fy * nmch),
+                    (0, fx * (wsb_c - nmcw))))
     dcd_y_pl = d.transpose(0, 2, 1, 3).reshape(nbh_y * nbw_y)
     dcd_y_raw = pt.scan_to_raw(dcd_y_pl, nbh_y, nbw_y, fx * ncg_c)
 
@@ -640,18 +662,20 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
     dcd_c_raws, dcd_c_ras = [], []
     for i in range(2):  # independent Cb / Cr chains per image
         dcc = pt.raw_to_scan(raw_c5[i, :, :1], nbh_c, nbw_c, ncg_c)[0]
-        e = dcc.reshape(b // r, hbc, r, nmcw).transpose(0, 2, 1, 3)
-        e = e[:, :, :nmch].reshape(-1)
+        e = dcc.reshape(b // r, hbc, r, wsb_c).transpose(0, 2, 1, 3)
+        e = e[:, :, :nmch, :nmcw].reshape(-1)
         ed = entropy_device.dc_differences(e, nmcu_im)
         dcd_c_ras.append(ed.reshape(b, nmch, nmcw))
         e = ed.reshape(b // r, r, nmch, nmcw)
-        e = jnp.pad(e, ((0, 0), (0, 0), (0, hbc - nmch), (0, 0)))
+        e = jnp.pad(e, ((0, 0), (0, 0), (0, hbc - nmch),
+                        (0, wsb_c - nmcw)))
         e_pl = e.transpose(0, 2, 1, 3).reshape(nbh_c * nbw_c)
         dcd_c_raws.append(pt.scan_to_raw(e_pl, nbh_c, nbw_c, ncg_c))
     dcd_c_raw = jnp.stack(dcd_c_raws).reshape(2 * gc, pt.SUBLANES, pt.LANES)
     rasters = dict(dcd_y=dcd_y_ras, dcd_cb=dcd_c_ras[0], dcd_cr=dcd_c_ras[1])
     geom = dict(fy=fy, fx=fx, r=r, kh=kh, wc=wc, ncg_c=ncg_c, gc=gc,
-                nmch=nmch, nmcw=nmcw, nmcu_im=nmcu_im, hby=hby, hbc=hbc,
+                wsb_c=wsb_c, nmch=nmch, nmcw=nmcw, nmcu_im=nmcu_im,
+                hby=hby, hbc=hbc,
                 nbh_y=nbh_y, nbw_y=nbw_y, nbh_c=nbh_c, nbw_c=nbw_c)
     return raw_y, raw_c, dcd_y_raw, dcd_c_raw, rasters, geom
 
@@ -683,7 +707,7 @@ def color_batch_raw_body(imgs, cfg: EncodeConfig, cap: int, ph: int,
     )
     fy, fx, r = gm["fy"], gm["fx"], gm["r"]
     kh, ncg_c, gc = gm["kh"], gm["ncg_c"], gm["gc"]
-    nmch, nmcw = gm["nmch"], gm["nmcw"]
+    nmch, nmcw, wsb_c = gm["nmch"], gm["nmcw"], gm["wsb_c"]
     interp = jax.default_backend() == "cpu"
     ct_y = None if custom_tables is None else custom_tables[0]
     ct_c = None if custom_tables is None else custom_tables[1]
@@ -705,15 +729,22 @@ def color_batch_raw_body(imgs, cfg: EncodeConfig, cap: int, ph: int,
         subsampling=cfg.subsampling, interpret=interp,
     )
 
-    # mask kernel-pad MCU rows (block rows >= nmch within a band)
+    # mask kernel-pad MCU rows (block rows >= nmch within a band) AND
+    # pad MCU lanes (cols >= nmcw within a slot)
     gci = jnp.arange(gc)
     si = jnp.arange(pt.SUBLANES)
+    li = jnp.arange(pt.LANES)
     br = ((gci[:, None] // ncg_c) % (kh // pt.TILE_H)) * 8 + si[None, :]
     valid = (br < nmch)[:, :, None]
+    if r > 1:
+        valid = valid & ((li % wsb_c) < nmcw)[None, None, :]
+    else:
+        col = (gci % ncg_c)[:, None, None] * pt.LANES + li
+        valid = valid & (col < nmcw)
     b_m = jnp.where(valid, mbits, 0)
     w_m = jnp.where(valid[:, None], merged, 0)
 
-    ws = nmcw if r > 1 else pallas_concat.LANES
+    ws = wsb_c if r > 1 else pallas_concat.LANES
     segs = pallas_concat.merge_sublanes_pallas(
         w_m, b_m, ws=ws, interpret=interp
     )
@@ -904,10 +935,10 @@ def _encode_color_batch_optimized(
 
     out: list[bytes | None] = [None] * len(images)
     for (ph, pw), idxs in groups.items():
-        rr = _color_pack_ratio(
-            pw // (1 if config.subsampling == "444" else 2)
+        _, rr, _ = _slot_geom(
+            pw // (1 if config.subsampling == "444" else 2) // 8
         )
-        unit = max(rr, 1) * (mesh.devices.size if mesh is not None else 1)
+        unit = rr * (mesh.devices.size if mesh is not None else 1)
         bsz = -(-_bucket_batch(len(idxs)) // unit) * unit
         local = bsz if mesh is None else bsz // mesh.devices.size
         if not _color_raw_ok(local, ph, pw, config, 8):
@@ -933,7 +964,11 @@ def _encode_color_batch_optimized(
         stats = jax.device_get(
             _batch_color_stats_fn(bsz, ph, pw, config, mesh)(arr, valid_img)
         )
-        freqs = entropy_device.assemble_histograms(stats)
+        # FLOORED frequencies: two separately compiled programs — see
+        # _encode_gray_batch_optimized.
+        freqs = tables.floor_frequencies(
+            entropy_device.assemble_histograms(stats)
+        )
         specs = tables.optimal_specs_from_frequencies(freqs)
         luts = tables.huffman_luts_from_specs(specs)
         tabs = tuple(
@@ -980,6 +1015,12 @@ def encode_color_batch(
     from . import color_pipeline as cp
 
     config = config or EncodeConfig(subsampling="420")
+    if config.restart_interval or config.entropy != "device":
+        # The batched bodies emit single-segment streams with no RSTn
+        # markers, and always pack on-device; a restart-interval or
+        # host-entropy config must ride the per-image encoders (which
+        # route these correctly — pipeline.encode_grayscale's gate).
+        return [cp.encode_color(img, config) for img in images]
     if config.optimize_huffman:
         # batched 2-pass with shared optimal tables: O(1) dispatches
         return _encode_color_batch_optimized(images, config, mesh)
@@ -1006,10 +1047,10 @@ def encode_color_batch(
         # pad the batch axis so the all-Pallas body's side-by-side
         # packing ratio divides the (per-device) batch; zero images
         # encode to near-empty streams, far cheaper than the staged path
-        rr = _color_pack_ratio(
-            pw // (1 if config.subsampling == "444" else 2)
+        _, rr, _ = _slot_geom(
+            pw // (1 if config.subsampling == "444" else 2) // 8
         )
-        unit = max(rr, 1) * (mesh.devices.size if mesh is not None else 1)
+        unit = rr * (mesh.devices.size if mesh is not None else 1)
         bsz = -(-bsz // unit) * unit
         while len(batch) < bsz:
             batch.append(np.zeros_like(batch[0]))
@@ -1067,6 +1108,12 @@ def encode_grayscale_batch(
     its devices (data parallelism over images, SURVEY.md §2.4): each chip
     encodes its images independently, no collectives at all."""
     config = config or EncodeConfig()
+    if config.restart_interval or config.entropy != "device":
+        # The batched bodies emit single-segment streams with no RSTn
+        # markers, and always pack on-device; a restart-interval or
+        # host-entropy config must ride the per-image encoders (which
+        # route these correctly — pipeline.encode_grayscale's gate).
+        return [pipeline.encode_grayscale(img, config) for img in images]
     if config.optimize_huffman:
         # batched 2-pass with shared optimal tables: O(1) dispatches
         # (see _encode_gray_batch_optimized for the trade)
@@ -1090,9 +1137,12 @@ def encode_grayscale_batch(
                 img = np.pad(img, pad, mode="edge")
             batch.append(img)
         bsz = _bucket_batch(len(batch))
-        if mesh is not None:
-            n_dev = mesh.devices.size
-            bsz = -(-bsz // n_dev) * n_dev
+        # pad the batch axis so the all-Pallas body's side-by-side
+        # packing ratio divides the (per-device) batch; zero images
+        # encode to near-empty streams, far cheaper than the staged path
+        _, r, _ = _slot_geom(pw // 8)
+        unit = r * (mesh.devices.size if mesh is not None else 1)
+        bsz = -(-bsz // unit) * unit
         while len(batch) < bsz:
             batch.append(np.zeros_like(batch[0]))
         arr = _device_batch(batch, mesh)

@@ -763,7 +763,11 @@ def _encode_color_optimized_device(
     ph, pw = image.shape[:2]
     img_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0)))
     stats = jax.device_get(_color_stats_fn(ph, pw, config)(img_dev))
-    freqs = entropy_device.assemble_histograms(stats)
+    # FLOORED frequencies — uniform across all optimize_huffman paths
+    # (see pipeline._encode_grayscale_optimized_device).
+    freqs = tables.floor_frequencies(
+        entropy_device.assemble_histograms(stats)
+    )
     specs = tables.optimal_specs_from_frequencies(freqs)
     luts = tables.huffman_luts_from_specs(specs)
     tabs = tuple(
@@ -805,10 +809,138 @@ def _encode_color_optimized_device(
         np.moveaxis(np.asarray(jax.device_get(img_dev)), 0, -1), config
     )
     tsel = table_sel.astype(np.int64)
-    freqs = entropy_host.symbol_frequencies(zz, table_sel=tsel, comp_id=comp_id)
+    freqs = tables.floor_frequencies(
+        entropy_host.symbol_frequencies(zz, table_sel=tsel, comp_id=comp_id)
+    )
     specs = tables.optimal_specs_from_frequencies(freqs)
     segments = entropy_host.encode_scan(
         zz, table_sel=tsel, comp_id=comp_id,
+        pad_ones=config.pad_ones,
+        luts=tables.huffman_luts_from_specs(specs),
+    )
+    return jfif.assemble(w, h, config, segments, huffman_specs=specs)
+
+
+@functools.lru_cache(maxsize=16)
+def _color_restart_stats_fn(ph: int, pw: int, cfg: EncodeConfig):
+    """Pass 1 of device 2-pass optimal color coding WITH restart
+    intervals: histograms with per-component DC chains reset at each
+    restart segment (the same chains _encode_color_restart_device
+    packs); pad slots beyond the last real MCU are masked out."""
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    _gidx, table_sel, comp_id = _scan_layout(ph, pw, cfg.subsampling)
+    nslots = table_sel.shape[0]
+    seg_slots = cfg.restart_interval * slots_per_mcu(cfg.subsampling)
+    n_total = -(-nslots // seg_slots) * seg_slots
+    table_pad = np.pad(table_sel, (0, n_total - nslots))
+    comp_pad = np.pad(comp_id, (0, n_total - nslots))
+
+    @jax.jit
+    def fn(img):
+        zz = _color_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        ).astype(jnp.int32)
+        if n_total != nslots:
+            zz = jnp.pad(zz, ((0, n_total - nslots), (0, 0)))
+        dcd = _per_component_dc_diff(zz[:, 0], comp_pad, seg_slots)
+        valid = jnp.arange(n_total) < nslots
+        return entropy_device.symbol_histograms(
+            zz, table_sel=jnp.asarray(table_pad), dc_diff=dcd, valid=valid
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_color_restart_device_rt(
+    ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
+):
+    """_encode_color_restart_device with RUNTIME Huffman tables — pass 2
+    of restart-interval color 2-pass optimal coding."""
+    basis_np = cfg.dct_basis()
+    qtl_np = cfg.luma_quant.astype(np.float32)
+    qtc_np = cfg.chroma_quant.astype(np.float32)
+    gather_idx, table_sel, comp_id = _scan_layout(ph, pw, cfg.subsampling)
+    nslots = gather_idx.shape[0]
+    seg_slots = cfg.restart_interval * slots_per_mcu(cfg.subsampling)
+    n_seg = -(-nslots // seg_slots)
+    n_total = n_seg * seg_slots
+    table_pad = np.pad(table_sel, (0, n_total - nslots))
+    comp_pad = np.pad(comp_id, (0, n_total - nslots))
+
+    @jax.jit
+    def fn(img, tabs_l, tabs_c):
+        zz = _color_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+            jnp.asarray(qtc_np),
+        ).astype(jnp.int32)
+        if n_total != nslots:
+            zz = jnp.pad(zz, ((0, n_total - nslots), (0, 0)))
+        dcd = _per_component_dc_diff(zz[:, 0], comp_pad, seg_slots)
+        return entropy_device.encode_segments_device(
+            zz, seg_slots, nslots, table_pad, dcd, cap_words_per_block,
+            pad_ones=cfg.pad_ones, custom_tables=(tabs_l, tabs_c),
+        )
+
+    return fn
+
+
+def _encode_color_optimized_restart_device(
+    image: np.ndarray, config: EncodeConfig, w: int, h: int
+) -> bytes:
+    """Device-speed 2-pass optimal color encode honoring
+    restart_interval (see pipeline._encode_grayscale_optimized_restart_
+    device); falls back to the host 2-pass past the fused-path
+    capacity."""
+    from . import pipeline, tables
+    from .entropy import pallas_pack
+
+    ph, pw = image.shape[:2]
+    img_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0)))
+    stats = jax.device_get(_color_restart_stats_fn(ph, pw, config)(img_dev))
+    freqs = tables.floor_frequencies(
+        entropy_device.assemble_histograms(stats)
+    )
+    specs = tables.optimal_specs_from_frequencies(freqs)
+    luts = tables.huffman_luts_from_specs(specs)
+    tabs = tuple(
+        jnp.asarray(
+            pallas_pack.pack_runtime_tables(
+                luts[f"dc_{kind}"][0], luts[f"dc_{kind}"][1],
+                luts[f"ac_{kind}"][0], luts[f"ac_{kind}"][1],
+            )
+        )
+        for kind in ("lum", "chrom")
+    )
+    key = (ph, pw, config, "color-restart-opt")
+    for cap in pipeline.capacity_ladder(config, key):
+        if cap > 16:
+            break  # runtime tables ride the fused path only
+        fn = _encode_color_restart_device_rt(ph, pw, config, cap)
+        streams, totals, overflow = fn(img_dev, *tabs)
+        if not bool(overflow):
+            pipeline.record_cap(key, cap)
+            streams, totals = jax.device_get((streams, totals))
+            segments = pipeline.segments_from_streams(streams, totals)
+            return jfif.assemble(w, h, config, segments,
+                                 huffman_specs=specs)
+    # Pathological content: host 2-pass with restart segments (tables
+    # rebuilt from the host coder's own XLA-path levels).
+    zz, table_sel, comp_id = color_coefficients(
+        np.moveaxis(np.asarray(jax.device_get(img_dev)), 0, -1), config
+    )
+    mcu_of_slot = np.arange(zz.shape[0]) // slots_per_mcu(config.subsampling)
+    segment_ids = mcu_of_slot // config.restart_interval
+    tsel = table_sel.astype(np.int64)
+    freqs = tables.floor_frequencies(entropy_host.symbol_frequencies(
+        zz, table_sel=tsel, comp_id=comp_id, segment_ids=segment_ids
+    ))
+    specs = tables.optimal_specs_from_frequencies(freqs)
+    segments = entropy_host.encode_scan(
+        zz, table_sel=tsel, comp_id=comp_id, segment_ids=segment_ids,
         pad_ones=config.pad_ones,
         luts=tables.huffman_luts_from_specs(specs),
     )
@@ -826,9 +958,15 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
         image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
 
     if config.optimize_huffman:
-        if config.entropy == "device" and not config.restart_interval:
-            return _encode_color_optimized_device(image, config, w, h)
-        # host 2-pass (restart intervals, int32 mode, entropy="host")
+        if config.entropy == "device":
+            if not config.restart_interval:
+                return _encode_color_optimized_device(image, config, w, h)
+            return _encode_color_optimized_restart_device(
+                image, config, w, h
+            )
+        # host 2-pass (entropy="host"). FLOORED frequencies — every
+        # optimize_huffman path floors (tables.floor_frequencies), so
+        # host and device 2-pass outputs stay byte-comparable.
         from . import tables
 
         zz, table_sel, comp_id = color_coefficients(image, config)
@@ -839,9 +977,9 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
             )
             segment_ids = mcu_of_slot // config.restart_interval
         tsel = table_sel.astype(np.int64)
-        freqs = entropy_host.symbol_frequencies(
+        freqs = tables.floor_frequencies(entropy_host.symbol_frequencies(
             zz, table_sel=tsel, comp_id=comp_id, segment_ids=segment_ids
-        )
+        ))
         specs = tables.optimal_specs_from_frequencies(freqs)
         segments = entropy_host.encode_scan(
             zz, table_sel=tsel, comp_id=comp_id, segment_ids=segment_ids,
@@ -979,9 +1117,12 @@ def encode_color_sharded(
         )
 
     for cap in _pipeline.capacity_ladder(config):
+        if specs is not None and cap > 16:
+            # Runtime tables ride the fused path only; pathological
+            # content degrades to the standard-table sharded encode
+            # instead of failing (see sharding.encode_grayscale_sharded).
+            specs = None
         if specs is not None:
-            if cap > 16:
-                break  # runtime tables ride the fused path only
             fn = _sharded_color_fn(mesh, ph, pw, config, cap, rt=True)
             streams, totals, overflow = fn(img_global, *tabs)
         else:
@@ -991,10 +1132,6 @@ def encode_color_sharded(
             break
     else:
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
-    if specs is not None and bool(overflow):
-        raise AssertionError(
-            "optimized sharded encode exceeded fused-path capacity"
-        )
 
     totals_np = _jax.device_get(totals)
     segments = gather_segments_multihost(streams, totals_np)

@@ -40,7 +40,17 @@ def dqt(table: np.ndarray, table_id: int) -> bytes:
 
 
 def sof0(width: int, height: int, components: Sequence[tuple]) -> bytes:
-    """Baseline frame header. `components` = [(id, h_samp, v_samp, qtbl_id)]."""
+    """Baseline frame header. `components` = [(id, h_samp, v_samp, qtbl_id)].
+
+    T.81 B.2.2: the X/Y frame fields are 16-bit, so each dimension must
+    be in [1, 65535] — validated here with a clear error instead of a
+    struct.error deep in serialization."""
+    for name, v in (("width", width), ("height", height)):
+        if not 1 <= v <= 0xFFFF:
+            raise ValueError(
+                f"JPEG {name} must be in [1, 65535] (T.81 16-bit SOF "
+                f"field), got {v}"
+            )
     body = struct.pack(">BHHB", 8, height, width, len(components))
     for cid, h, v, q in components:
         body += struct.pack(">BBB", cid, (h << 4) | v, q)

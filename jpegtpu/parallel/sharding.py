@@ -265,23 +265,29 @@ def gather_segments_multihost(streams, totals_np: np.ndarray) -> list[bytes]:
 
     my_ids = sorted(seg_bytes)
     lens = np.asarray([len(seg_bytes[i]) for i in my_ids], np.int64)
-    # All hosts must agree on the exchange buffer width: gather the max
-    # stuffed length first (tiny), then the padded payload matrix.
-    width = int(
-        np.max(multihost_utils.process_allgather(np.asarray([lens.max()])))
+    # Segments concatenate into ONE flat per-host buffer padded to the
+    # max per-host TOTAL (gathered first, tiny), so skewed segment sizes
+    # cost nothing extra: DCN traffic is n_hosts * max_host_total bytes,
+    # not n_seg * max_segment (the r3 O(n_seg x max_len) exchange).
+    flat = np.frombuffer(
+        b"".join(seg_bytes[i] for i in my_ids), np.uint8
     )
-    payload = np.zeros((len(my_ids), width), np.uint8)
-    for r, i in enumerate(my_ids):
-        b = np.frombuffer(seg_bytes[i], np.uint8)
-        payload[r, : b.size] = b
+    total_max = int(np.max(
+        multihost_utils.process_allgather(np.asarray([flat.size]))
+    ))
+    payload = np.zeros(total_max, np.uint8)
+    payload[: flat.size] = flat
     ids_all = multihost_utils.process_allgather(np.asarray(my_ids, np.int64))
     lens_all = multihost_utils.process_allgather(lens)
     bufs_all = multihost_utils.process_allgather(payload)
     segments: list[bytes | None] = [None] * (n * k)
     for p in range(ids_all.shape[0]):
+        off = 0
         for r in range(ids_all.shape[1]):
             gid = int(ids_all[p, r])
-            segments[gid] = bufs_all[p, r, : int(lens_all[p, r])].tobytes()
+            ln = int(lens_all[p, r])
+            segments[gid] = bufs_all[p, off : off + ln].tobytes()
+            off += ln
     assert all(s is not None for s in segments), "missing shard segment"
     return segments  # type: ignore[return-value]
 
@@ -339,9 +345,14 @@ def encode_grayscale_sharded(
         )
 
     for cap in pipeline.capacity_ladder(config):
+        if specs is not None and cap > 16:
+            # Runtime tables ride the fused path only; pathological
+            # content past its capacity (dense noise at low Q) degrades
+            # to the standard-table sharded encode instead of failing —
+            # the single-chip optimized path's fallback contract
+            # (pipeline._encode_grayscale_optimized_device).
+            specs = None
         if specs is not None:
-            if cap > 16:
-                break  # runtime tables ride the fused path only
             fn = _sharded_encode_fn_rt(mesh, ph, pw, config, is_rgb, cap)
             streams, totals, overflow = fn(img_global, tabs)
         else:
@@ -351,10 +362,6 @@ def encode_grayscale_sharded(
             break
     else:
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
-    if specs is not None and bool(overflow):
-        raise AssertionError(
-            "optimized sharded encode exceeded fused-path capacity"
-        )
 
     totals_np = jax.device_get(totals)
     segments = gather_segments_multihost(streams, totals_np)

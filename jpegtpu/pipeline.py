@@ -213,16 +213,22 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     config = config or EncodeConfig()
     h, w = image.shape[:2]
     if config.optimize_huffman:
-        if config.entropy == "device" and not config.restart_interval:
-            return _encode_grayscale_optimized_device(image, config)
-        # host 2-pass (restart intervals, int32 mode, entropy="host")
+        if config.entropy == "device":
+            if not config.restart_interval:
+                return _encode_grayscale_optimized_device(image, config)
+            return _encode_grayscale_optimized_restart_device(image, config)
+        # host 2-pass (entropy="host"). Frequencies are FLOORED — every
+        # optimize_huffman path floors (tables.floor_frequencies), so
+        # host and device 2-pass outputs stay byte-comparable.
         zz = grayscale_coefficients(image, config)
         seg_ids = (
             np.arange(zz.shape[0]) // config.restart_interval
             if config.restart_interval
             else None
         )
-        freqs = entropy_host.symbol_frequencies(zz, segment_ids=seg_ids)
+        freqs = tables.floor_frequencies(
+            entropy_host.symbol_frequencies(zz, segment_ids=seg_ids)
+        )
         specs = tables.optimal_specs_from_frequencies(freqs)
         segments = entropy_host.encode_scan(
             zz, segment_ids=seg_ids, pad_ones=config.pad_ones,
@@ -324,7 +330,8 @@ def _encode_restart_segments_device(
 
 
 _CAP_HISTORY_MAX = 4096
-_cap_history: dict = {}  # encode-site key -> last rung that fit
+_CAP_DECAY_PERIOD = 32  # encodes between one-rung-lower probes
+_cap_history: dict = {}  # encode-site key -> [last rung that fit, uses]
 
 
 def capacity_ladder(
@@ -341,10 +348,19 @@ def capacity_ladder(
     the rung that fit (`record_cap`) — recurring pathological content
     (a serving stream of Q=1 noise) pays the retry dispatch ONCE, not
     per image. Normal content never bumps, so the history is inert for
-    it."""
+    it. The remembered rung DECAYS: every _CAP_DECAY_PERIOD encodes the
+    ladder probes one rung lower, so a single pathological image cannot
+    pin the site at a worst-case rung (or demote optimized/raw paths,
+    which cap at 16) for the process lifetime."""
     start = config.capacity_words_per_block
     if key is not None:
-        start = max(start, _cap_history.get(key, 0))
+        ent = _cap_history.get(key)
+        if ent is not None:
+            rung, uses = ent
+            ent[1] = uses + 1
+            if rung > start and uses % _CAP_DECAY_PERIOD == _CAP_DECAY_PERIOD - 1:
+                rung = _rung_below(rung, start)
+            start = max(start, rung)
     ladder = [start]
     if ladder[-1] < 16:
         ladder.append(16)
@@ -353,13 +369,24 @@ def capacity_ladder(
     return tuple(ladder)
 
 
+def _rung_below(rung: int, start: int) -> int:
+    """The ladder rung one below `rung` for a config whose heuristic rung
+    is `start` (the ladder is start < 16 < MAX_WORDS_PER_BLOCK)."""
+    if rung > 16:
+        return max(16, start)
+    return start
+
+
 def record_cap(key, cap: int) -> None:
     """Remember the capacity rung that fit at this encode site (LRU
-    bounded; a serving process must not leak)."""
+    bounded; a serving process must not leak). A success at a LOWER rung
+    than remembered (the periodic decay probe) overwrites it — the
+    history tracks current content, not the worst image ever seen."""
     if key is None:
         return
-    _cap_history.pop(key, None)
-    _cap_history[key] = cap
+    ent = _cap_history.pop(key, None)
+    uses = ent[1] if ent is not None else 0
+    _cap_history[key] = [cap, uses]
     while len(_cap_history) > _CAP_HISTORY_MAX:
         _cap_history.pop(next(iter(_cap_history)))
 
@@ -539,7 +566,12 @@ def _encode_grayscale_optimized_device(
         image = np.pad(image, pad, mode="edge")
     img_dev = jnp.asarray(image)
     stats = jax.device_get(_gray_stats_fn(ph, pw, config, is_rgb)(img_dev))
-    freqs = entropy_device.assemble_histograms(stats)
+    # FLOORED frequencies (tables.floor_frequencies): pass 1 and pass 2
+    # are separately compiled programs, and every optimize_huffman path
+    # floors uniformly so host/device 2-pass outputs stay byte-equal.
+    freqs = tables.floor_frequencies(
+        entropy_device.assemble_histograms(stats)
+    )
     specs = {
         k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")
     }
@@ -579,10 +611,127 @@ def _encode_grayscale_optimized_device(
     # THOSE levels (the device histograms above describe the Pallas
     # levels — a tie-split would leave a symbol with no code).
     zz = grayscale_coefficients(image, config)
-    freqs = entropy_host.symbol_frequencies(zz)
+    freqs = tables.floor_frequencies(entropy_host.symbol_frequencies(zz))
     specs = {k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")}
     segments = entropy_host.encode_scan(
         zz, pad_ones=config.pad_ones,
+        luts=tables.huffman_luts_from_specs(specs),
+    )
+    return jfif.assemble(w, h, config, segments, huffman_specs=specs)
+
+
+@functools.lru_cache(maxsize=32)
+def _gray_restart_stats_fn(ph: int, pw: int, cfg: EncodeConfig,
+                           is_rgb: bool):
+    """Pass 1 of device 2-pass optimal coding WITH restart intervals:
+    symbol histograms with the DC predictor reset at each segment start
+    (the same chains _encode_gray_restart_device packs); pad blocks
+    beyond the last real MCU are excluded via the valid mask."""
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
+    nb = (ph // 8) * (pw // 8)
+    seg_blocks = cfg.restart_interval
+    n_total = -(-nb // seg_blocks) * seg_blocks
+
+    @jax.jit
+    def fn(img):
+        zz = _gray_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
+        ).astype(jnp.int32)
+        if n_total != nb:
+            zz = jnp.pad(zz, ((0, n_total - nb), (0, 0)))
+        dcd = entropy_device.dc_differences(zz[:, 0], seg_blocks)
+        valid = jnp.arange(n_total) < nb
+        return entropy_device.symbol_histograms(zz, dc_diff=dcd, valid=valid)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_gray_restart_device_rt(
+    ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool,
+    cap_words_per_block: int,
+):
+    """_encode_gray_restart_device with RUNTIME Huffman tables — pass 2
+    of restart-interval 2-pass optimal coding (the single-chip analog of
+    parallel.sharding._sharded_encode_fn_rt)."""
+    basis_np = cfg.dct_basis()
+    qtable_np = cfg.luma_quant.astype(np.float32)
+    nb = (ph // 8) * (pw // 8)
+    seg_blocks = cfg.restart_interval
+    n_seg = -(-nb // seg_blocks)
+    n_total = n_seg * seg_blocks
+
+    @jax.jit
+    def fn(img, tabs):
+        zz = _gray_levels(
+            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
+        ).astype(jnp.int32)
+        if n_total != nb:
+            zz = jnp.pad(zz, ((0, n_total - nb), (0, 0)))
+        dcd = entropy_device.dc_differences(zz[:, 0], seg_blocks)
+        return entropy_device.encode_segments_device(
+            zz, seg_blocks, nb, 0, dcd, cap_words_per_block,
+            pad_ones=cfg.pad_ones, custom_tables=(tabs,),
+        )
+
+    return fn
+
+
+def _encode_grayscale_optimized_restart_device(
+    image: np.ndarray, config: EncodeConfig
+) -> bytes:
+    """Device-speed 2-pass optimal encode honoring restart_interval:
+    pass 1 histograms with per-segment DC chains, pass 2 packs the
+    restart segments with the tables as runtime data — same machinery
+    the sharded path proves (sharding._sharded_encode_fn_rt), on one
+    chip. Falls back to the host 2-pass past the fused-path capacity."""
+    from .entropy import pallas_pack
+
+    is_rgb = image.ndim == 3
+    h, w = image.shape[:2]
+    ph, pw = blocks.padded_dims(h, w)
+    if (ph, pw) != (h, w):
+        pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
+        image = np.pad(image, pad, mode="edge")
+    img_dev = jnp.asarray(image)
+    stats = jax.device_get(
+        _gray_restart_stats_fn(ph, pw, config, is_rgb)(img_dev)
+    )
+    # FLOORED: two separately compiled programs (see floor_frequencies)
+    freqs = tables.floor_frequencies(
+        entropy_device.assemble_histograms(stats)
+    )
+    specs = {k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")}
+    luts = tables.huffman_luts_from_specs(specs)
+    tabs = jnp.asarray(
+        pallas_pack.pack_runtime_tables(
+            luts["dc_lum"][0], luts["dc_lum"][1],
+            luts["ac_lum"][0], luts["ac_lum"][1],
+        )
+    )
+    key = (ph, pw, config, is_rgb, "restart-opt")
+    for cap in capacity_ladder(config, key):
+        if cap > 16:
+            break  # runtime tables ride the fused path only
+        fn = _encode_gray_restart_device_rt(ph, pw, config, is_rgb, cap)
+        streams, totals, overflow = fn(img_dev, tabs)
+        if not bool(overflow):
+            record_cap(key, cap)
+            streams, totals = jax.device_get((streams, totals))
+            segments = segments_from_streams(streams, totals)
+            return jfif.assemble(w, h, config, segments,
+                                 huffman_specs=specs)
+    # Pathological content past the fused-path capacity: host 2-pass
+    # (tables rebuilt from the host coder's own XLA-path levels).
+    zz = grayscale_coefficients(image, config)
+    seg_ids = np.arange(zz.shape[0]) // config.restart_interval
+    freqs = tables.floor_frequencies(
+        entropy_host.symbol_frequencies(zz, segment_ids=seg_ids)
+    )
+    specs = {k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")}
+    segments = entropy_host.encode_scan(
+        zz, segment_ids=seg_ids, pad_ones=config.pad_ones,
         luts=tables.huffman_luts_from_specs(specs),
     )
     return jfif.assemble(w, h, config, segments, huffman_specs=specs)

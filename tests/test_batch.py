@@ -157,7 +157,7 @@ def test_color_batch_raw_plane_parity():
         cfg = EncodeConfig(subsampling=ss)
         ph, pw = color_pipeline.padded_dims_color(h, w, ss)
         mw = pw // (1 if ss == "444" else 2)
-        r = batch._color_pack_ratio(mw)
+        _, r, _ = batch._slot_geom(mw // 8)
         bsz = max(batch._bucket_batch(n), max(r, 1))
         assert batch._color_raw_ok(bsz, ph, pw, cfg, 8), (ss, h, w)
         imgs = [_rgb(h, w, 40 + s) for s in range(n)]
@@ -179,3 +179,84 @@ def test_color_batch_raw_over_mesh():
     got = batch.encode_color_batch(imgs, cfg, mesh=make_mesh(4))
     for i, img in enumerate(imgs):
         assert got[i] == color_pipeline.encode_color(img, cfg), f"mesh {i}"
+
+
+def test_batch_restart_and_host_entropy_route_per_image():
+    """ADVICE r3 (high): the batched bodies emit single-segment streams
+    with no RSTn markers and always pack on-device — restart-interval or
+    host-entropy configs must ride the per-image encoders (which route
+    these correctly), for both plain and optimize_huffman batches."""
+    from jpegtpu import color_pipeline
+
+    gimgs = [_img(48, 64, 70), _img(48, 64, 71)]
+    cimgs = [np.stack([_img(32, 64, 80 + s + c) for c in range(3)], axis=-1)
+             for s in range(2)]
+    for cfg in (
+        EncodeConfig(restart_interval=4),
+        EncodeConfig(entropy="host"),
+        EncodeConfig(restart_interval=4, optimize_huffman=True),
+        EncodeConfig(entropy="host", optimize_huffman=True),
+    ):
+        got = batch.encode_grayscale_batch(gimgs, cfg)
+        for i, img in enumerate(gimgs):
+            assert got[i] == pipeline.encode_grayscale(img, cfg), (cfg, i)
+    for cfg in (
+        EncodeConfig(subsampling="420", restart_interval=4),
+        EncodeConfig(subsampling="420", restart_interval=4,
+                     optimize_huffman=True),
+    ):
+        got = batch.encode_color_batch(cimgs, cfg)
+        for i, img in enumerate(cimgs):
+            assert got[i] == color_pipeline.encode_color(img, cfg), (cfg, i)
+
+
+def test_gray_batch_raw_arbitrary_widths():
+    """VERDICT r3 #2: ANY width rides the all-Pallas batch path (masked
+    pad lanes), byte-equal to single encodes — 760/640/1366/200 were
+    silently demoted to the ~2x slower staged path in r3."""
+    from jpegtpu.ops import blocks as _blocks
+
+    cfg = EncodeConfig()
+    cases = [(48, 760, 2), (64, 640, 3), (40, 1366, 2), (56, 200, 5)]
+    for h, w, n in cases:
+        ph, pw = _blocks.padded_dims(h, w)
+        _, r, _ = batch._slot_geom(pw // 8)
+        bsz = -(-max(batch._bucket_batch(n), 1) // r) * r
+        assert batch._gray_raw_ok(bsz, ph, pw, cfg, 8), (h, w)
+        imgs = [_img(h, w, 90 + s) for s in range(n)]
+        got = batch.encode_grayscale_batch(imgs, cfg)
+        for i, img in enumerate(imgs):
+            assert got[i] == pipeline.encode_grayscale(img, cfg), (h, w, i)
+
+
+def test_color_batch_raw_arbitrary_widths():
+    """Color twin of the arbitrary-width coverage: non-pow2 chroma
+    widths pack with masked pad lanes on the raw path."""
+    from jpegtpu import color_pipeline
+
+    cases = [("420", 48, 760, 2), ("420", 64, 1360, 2),
+             ("444", 40, 200, 3), ("422", 48, 328, 3)]
+    for ss, h, w, n in cases:
+        cfg = EncodeConfig(subsampling=ss)
+        ph, pw = color_pipeline.padded_dims_color(h, w, ss)
+        mw = pw // (1 if ss == "444" else 2)
+        _, r, _ = batch._slot_geom(mw // 8)
+        bsz = -(-max(batch._bucket_batch(n), 1) // r) * r
+        assert batch._color_raw_ok(bsz, ph, pw, cfg, 8), (ss, h, w)
+        imgs = [_rgb(h, w, 120 + s) for s in range(n)]
+        got = batch.encode_color_batch(imgs, cfg)
+        for i, img in enumerate(imgs):
+            assert got[i] == color_pipeline.encode_color(img, cfg), (
+                ss, (h, w), i,
+            )
+
+
+def test_mixed_geometry_batch():
+    """One call with several arbitrary geometries: every bucket rides
+    its own program; files come back in input order, byte-equal."""
+    imgs = [_img(48, 760, 1), _img(64, 640, 2), _img(48, 760, 3),
+            _img(56, 200, 4), _img(64, 512, 5)]
+    cfg = EncodeConfig()
+    got = batch.encode_grayscale_batch(imgs, cfg)
+    for i, img in enumerate(imgs):
+        assert got[i] == pipeline.encode_grayscale(img, cfg), f"image {i}"

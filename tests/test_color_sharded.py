@@ -51,3 +51,17 @@ def test_sharded_color_decodes_like_single_chip():
     b = np.asarray(Image.open(io.BytesIO(shard)).convert("RGB"))
     assert a.shape == b.shape == img.shape
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_color_optimized_pathological_degrades_gracefully():
+    """ADVICE r3 (medium): color optimize_huffman + dense noise past the
+    fused path's capacity must degrade to the standard-table sharded
+    encode, not raise."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    cfg = EncodeConfig(subsampling="420", quality=100, optimize_huffman=True)
+    got = color_pipeline.encode_color_sharded(img, cfg, mesh=make_mesh(4))
+    want = color_pipeline.encode_color_sharded(
+        img, EncodeConfig(subsampling="420", quality=100), mesh=make_mesh(4)
+    )
+    assert got == want

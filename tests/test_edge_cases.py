@@ -57,3 +57,20 @@ def test_host_and_device_entropy_agree_on_edges():
     a = pipeline.encode_grayscale(img, EncodeConfig(entropy="device"))
     b = pipeline.encode_grayscale(img, EncodeConfig(entropy="host"))
     assert a == b
+
+
+def test_jfif_rejects_oversize_dims():
+    """T.81 SOF X/Y are 16-bit: dims outside [1, 65535] must raise a
+    clear ValueError at the JFIF layer, not a struct.error."""
+    import pytest
+
+    from jpegtpu.io import jfif
+
+    with pytest.raises(ValueError, match="65535"):
+        jfif.sof0(65536, 64, [(1, 1, 1, 0)])
+    with pytest.raises(ValueError, match="65535"):
+        jfif.sof0(64, 70000, [(1, 1, 1, 0)])
+    with pytest.raises(ValueError, match="65535"):
+        jfif.grayscale_headers(0, 64, __import__("jpegtpu").EncodeConfig())
+    # the limit itself is legal
+    assert jfif.sof0(65535, 65535, [(1, 1, 1, 0)])

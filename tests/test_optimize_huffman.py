@@ -62,8 +62,9 @@ def test_optimal_tables_beat_standard_rate():
 
 @pytest.mark.parametrize("ss", ["420", "444"])
 def test_optimal_tables_color(ss):
-    rng = np.random.default_rng(9)
-    img = np.stack([_img(64, 80, s) for s in range(3)], axis=-1)
+    # large enough that the optimal-code scan win clears the ~0.3% cost
+    # of the floored table's full symbol coverage (floor_frequencies)
+    img = np.stack([_img(128, 160, s) for s in range(3)], axis=-1)
     cfg_std = EncodeConfig(subsampling=ss, entropy="host")
     cfg_opt = EncodeConfig(subsampling=ss, optimize_huffman=True)
     std = color_pipeline.encode_color(img, cfg_std)
@@ -153,6 +154,7 @@ def test_batched_optimized_gray_shared_tables():
     for zz in zzs:
         f = entropy_host.symbol_frequencies(zz)
         freqs = f if freqs is None else {k: freqs[k] + f[k] for k in f}
+    freqs = tables.floor_frequencies(freqs)  # every 2-pass path floors
     specs = {k: tables.optimal_spec(freqs[k]) for k in ("dc_lum", "ac_lum")}
     luts = tables.huffman_luts_from_specs(specs)
     for i, (im, zz) in enumerate(zip(imgs, zzs)):
@@ -220,6 +222,7 @@ def test_batched_optimized_color_shared_tables():
             zz, table_sel=tsel.astype(np.int64), comp_id=comp
         )
         freqs = f if freqs is None else {k: freqs[k] + f[k] for k in f}
+    freqs = tables.floor_frequencies(freqs)  # every 2-pass path floors
     specs = tables.optimal_specs_from_frequencies(freqs)
     luts = tables.huffman_luts_from_specs(specs)
     for i, (im, zz, tsel, comp) in enumerate(zts):
@@ -233,16 +236,37 @@ def test_batched_optimized_color_shared_tables():
         Image.open(io.BytesIO(outs[i])).load()
 
 
-def test_batched_optimized_staged_shape_falls_back():
-    """Shapes the raw path can't take (no exact packing ratio) encode
-    per image — identical to the single-image 2-pass."""
+def test_batched_optimized_staged_shape_falls_back(monkeypatch):
+    """Shapes the raw path can't take (e.g. per-image rows past the
+    streaming-concat bound) encode per image — identical to the
+    single-image 2-pass. Since r4 ANY width packs (_slot_geom), so the
+    staged predicate is forced off to exercise the fallback."""
     from jpegtpu import batch
 
-    imgs = _gbatch(48, 80, 2, seed=14)  # 80 has no packing ratio
+    imgs = _gbatch(48, 80, 2, seed=14)
     cfg = EncodeConfig(optimize_huffman=True)
+    monkeypatch.setattr(batch, "_gray_raw_ok", lambda *a, **k: False)
     outs = batch.encode_grayscale_batch(imgs, cfg)
     for im, o in zip(imgs, outs):
         assert o == pipeline.encode_grayscale(im, cfg)
+
+
+def test_batched_optimized_arbitrary_width_shared_tables():
+    """r4: arbitrary widths ride the batched 2-pass raw path (shared
+    optimal tables) — streams must be valid and smaller than the
+    standard-table batch."""
+    from jpegtpu import batch
+
+    imgs = _gbatch(48, 80, 2, seed=14)
+    outs = batch.encode_grayscale_batch(
+        imgs, EncodeConfig(optimize_huffman=True)
+    )
+    plain = batch.encode_grayscale_batch(imgs, EncodeConfig())
+    for o, p, im in zip(outs, plain, imgs):
+        assert len(o) <= len(p)
+        a = np.asarray(Image.open(io.BytesIO(o)).convert("L"))
+        b = np.asarray(Image.open(io.BytesIO(p)).convert("L"))
+        np.testing.assert_array_equal(a, b)
 
 
 def test_sharded_optimized_gray():
@@ -319,3 +343,55 @@ def test_sharded_optimized_color(ss):
     b = np.asarray(Image.open(io.BytesIO(plain)).convert("RGB"))
     np.testing.assert_array_equal(a, b)
     assert len(out) < len(plain)
+
+
+def test_restart_device_two_pass_matches_host_two_pass():
+    """VERDICT r3 #4: optimize_huffman + restart_interval now rides the
+    device 2-pass (runtime-table segment machinery); its output must be
+    byte-identical to the host 2-pass with the same config."""
+    img = _img(96, 120, seed=21)
+    cfg = EncodeConfig(optimize_huffman=True, restart_interval=16)
+    dev = pipeline.encode_grayscale(img, cfg)
+    host = pipeline.encode_grayscale(
+        img, EncodeConfig(optimize_huffman=True, restart_interval=16,
+                          entropy="host")
+    )
+    assert dev == host
+    # and still decodes to the standard-table pixels
+    plain = pipeline.encode_grayscale(img, EncodeConfig(entropy="host"))
+    a = np.asarray(Image.open(io.BytesIO(plain)).convert("L"))
+    b = np.asarray(Image.open(io.BytesIO(dev)).convert("L"))
+    np.testing.assert_array_equal(a, b)
+    assert len(dev) < len(
+        pipeline.encode_grayscale(img, EncodeConfig(restart_interval=16))
+    )
+
+
+@pytest.mark.parametrize("ss", ["420", "444"])
+def test_color_restart_device_two_pass_matches_host_two_pass(ss):
+    img = np.stack([_img(96, 112, 30 + s) for s in range(3)], axis=-1)
+    cfg = EncodeConfig(subsampling=ss, optimize_huffman=True,
+                       restart_interval=8)
+    dev = color_pipeline.encode_color(img, cfg)
+    host = color_pipeline.encode_color(
+        img, EncodeConfig(subsampling=ss, optimize_huffman=True,
+                          restart_interval=8, entropy="host")
+    )
+    assert dev == host
+    Image.open(io.BytesIO(dev)).load()
+
+
+def test_restart_optimized_pathological_falls_back():
+    """Dense noise past the fused-path capacity must fall back to the
+    host 2-pass and still produce a valid restart stream."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (64, 64), np.uint8)
+    cfg = EncodeConfig(quality=100, optimize_huffman=True,
+                       restart_interval=4)
+    out = pipeline.encode_grayscale(img, cfg)
+    want = pipeline.encode_grayscale(
+        img, EncodeConfig(quality=100, optimize_huffman=True,
+                          restart_interval=4, entropy="host")
+    )
+    assert out == want
+    Image.open(io.BytesIO(out)).load()

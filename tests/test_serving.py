@@ -102,8 +102,33 @@ def test_capacity_history_learns_from_overflow():
     from jpegtpu.ops import blocks
 
     key = (*blocks.padded_dims(40, 48), cfg, False)
-    assert pipeline._cap_history.get(key, 0) > cfg.capacity_words_per_block
+    rung = pipeline._cap_history.get(key, [0])[0]
+    assert rung > cfg.capacity_words_per_block
     ladder = pipeline.capacity_ladder(cfg, key)
-    assert ladder[0] == pipeline._cap_history[key]
+    assert ladder[0] == rung
     # the adapted ladder still produces identical bytes
     assert pipeline.encode_grayscale(hot, cfg) == ref
+
+
+def test_capacity_history_decays():
+    """A single pathological image must not pin an encode site at the
+    worst rung forever: every _CAP_DECAY_PERIOD encodes the ladder
+    probes one rung lower, and a success there overwrites the history
+    (ADVICE r3: ratchet-only history demoted optimized/raw paths for
+    the process lifetime)."""
+    cfg = EncodeConfig()
+    key = ("decay-test", cfg)
+    pipeline.record_cap(key, 16)  # as if one image needed the mid rung
+    start = cfg.capacity_words_per_block
+    probed = False
+    for _ in range(pipeline._CAP_DECAY_PERIOD + 1):
+        ladder = pipeline.capacity_ladder(cfg, key)
+        if ladder[0] == start:
+            probed = True
+            # the probe fits normal content -> history decays
+            pipeline.record_cap(key, start)
+            break
+        assert ladder[0] == 16
+    assert probed
+    assert pipeline.capacity_ladder(cfg, key)[0] == start
+    pipeline._cap_history.pop(key, None)

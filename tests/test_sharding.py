@@ -146,3 +146,18 @@ def test_sharded_int32_stream_equals_host_restart_stream():
         ),
     )
     assert got == want
+
+
+def test_sharded_optimized_pathological_degrades_gracefully():
+    """ADVICE r3 (medium): optimize_huffman + content past the fused
+    path's 16-word capacity must DEGRADE to the standard-table sharded
+    encode, not raise — the single-chip optimized path's contract."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64), np.uint8)  # dense noise
+    cfg = EncodeConfig(quality=100, optimize_huffman=True)
+    got = sharding.encode_grayscale_sharded(img, cfg, mesh=_mesh(8))
+    want = sharding.encode_grayscale_sharded(
+        img, EncodeConfig(quality=100), mesh=_mesh(8)
+    )
+    assert got == want  # standard tables, same segments
+    assert np.array_equal(_decode(got), _decode(want))
