@@ -573,7 +573,6 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
     histogram exactly the levels pass 2 encodes). rasters holds the
     per-image-raster DC differences (dcd_y [b, fy*nmch, fx*nmcw],
     dcd_cb/dcd_cr [b, nmch, nmcw]) the stats path pairs with levels."""
-    from .ops import color as color_ops
     from .ops import pallas_transform as pt
 
     b = imgs.shape[0]
@@ -589,42 +588,33 @@ def _color_batch_plane_raw(imgs, cfg: EncodeConfig, ph: int, pw: int):
     nmcu_im = nmch * nmcw
     interp = jax.default_backend() == "cpu"
 
-    # one pointwise color convert + subsample over the whole batch
-    # (vertical stacking: image heights are MCU multiples, so 2x2
-    # averaging groups never straddle an image boundary)
-    y, cb, cr = color_ops.rgb_planar_to_ycbcr(
-        imgs.transpose(1, 0, 2, 3).reshape(3, b * ph, pw)
+    # ONE uint8 band relayout of planar RGB (r images side by side per
+    # band, rows zero-padded to the kernel tile, width to the slot; pad
+    # blocks are masked downstream) — the color convert and the chroma
+    # box filter ride INSIDE the fused transform kernels
+    # (pt.transform_rgb_y_raw / transform_rgb_chroma_raw), so the
+    # intermediate Y/Cb/Cr planes never touch HBM. Vertical stacking is
+    # safe: image heights are MCU multiples, so 2x2 averaging groups
+    # never straddle an image boundary.
+    x = imgs.transpose(1, 0, 2, 3).reshape(3, b // r, r, ph, pw)
+    if (fy * kh, fx * wpx_c) != (ph, pw):
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (0, 0), (0, fy * kh - ph),
+             (0, fx * wpx_c - pw)),
+        )
+    rgb_pl = x.transpose(0, 1, 3, 2, 4).reshape(
+        3, b // r * fy * kh, r * fx * wpx_c
     )
-    if cfg.subsampling == "420":
-        cb = color_ops.subsample_420(cb)
-        cr = color_ops.subsample_420(cr)
-    elif cfg.subsampling == "422":
-        cb = color_ops.subsample_422(cb)
-        cr = color_ops.subsample_422(cr)
-
-    def to_bands(plane, hh, wimg, khb, wslot):
-        # [b*hh, wimg] -> [b/r * khb, r*wslot]: r images side by side
-        # per band, rows zero-padded to khb and width to the wslot slot
-        # (pad blocks are masked downstream)
-        x = plane.reshape(b // r, r, hh, wimg)
-        if (khb, wslot) != (hh, wimg):
-            x = jnp.pad(
-                x, ((0, 0), (0, 0), (0, khb - hh), (0, wslot - wimg))
-            )
-        return x.transpose(0, 2, 1, 3).reshape(b // r * khb, r * wslot)
-
-    y_pl = to_bands(y.reshape(b, ph, pw), ph, pw, fy * kh, fx * wpx_c)
-    cb_pl = to_bands(cb.reshape(b, mh, mw), mh, mw, kh, wpx_c)
-    cr_pl = to_bands(cr.reshape(b, mh, mw), mh, mw, kh, wpx_c)
 
     int_mode = cfg.dct_dtype == "int32"
     qdt = np.int32 if int_mode else np.float32
     qtl = jnp.asarray(cfg.luma_quant.astype(qdt))
     qtc = jnp.asarray(cfg.chroma_quant.astype(qdt))
-    raw_y = pt.transform_plane_raw(y_pl, qtl, cfg.bitexact,
+    raw_y = pt.transform_rgb_y_raw(rgb_pl, qtl, cfg.bitexact,
                                    interpret=interp, int_mode=int_mode)
-    raw_c = pt.transform_plane_raw(
-        jnp.concatenate([cb_pl, cr_pl]), qtc, cfg.bitexact,
+    raw_c = pt.transform_rgb_chroma_raw(
+        rgb_pl, qtc, cfg.subsampling, cfg.bitexact,
         interpret=interp, int_mode=int_mode,
     )
     gc = raw_c.shape[0] // 2

@@ -454,51 +454,58 @@ def _slot_planes(yplane, subsampling: str):
     return yplane[None]
 
 
-def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
-                           custom_tables=None):
-    """All-Pallas color body, NATURAL layouts end to end: the full-res Y
-    plane and the (stacked) chroma planes go straight through the fused
-    transform kernel, the pre-tiled fused symbolize+pack, and the
-    natural-layout MCU interleave merge (static lane-realign matmuls in
-    pallas_pack.merge_mcu_natural_pallas) — no slot-plane pixel relayout
-    and no XLA stack/transpose staging. The only XLA data movement left
-    is the per-block DC scan-order round trip (tiny [nb] arrays)."""
-    from .entropy import pallas_concat, pallas_pack, treepack
+def _fused_raw_planes(img, cfg: EncodeConfig):
+    """Planar RGB [3, PH, PW] -> (raw_y, raw_c, geom): the FUSED
+    convert+subsample+transform kernels (pt.transform_rgb_y_raw /
+    transform_rgb_chroma_raw) — the YCbCr planes never touch HBM.
+
+    RGB is zero-padded to exactly (fy*kh, fx*kw) so the Y grid is an
+    fy x fx refinement of the chroma grid (what the merge kernel's
+    BlockSpecs assume). Pad blocks come out as zero levels with dcd
+    forced 0 downstream -> ~6-bit EOB-only streams, excluded from the
+    output by the raster slicing; geom = (kh, kw, ncg, nmch, nmcw)."""
     from .ops import pallas_transform as pt
 
-    y, cb, cr = color.rgb_planar_to_ycbcr(img)
-    if cfg.subsampling == "420":
-        cb = color.subsample_420(cb)
-        cr = color.subsample_420(cr)
-    elif cfg.subsampling == "422":
-        cb = color.subsample_422(cb)
-        cr = color.subsample_422(cr)
     fy = 2 if cfg.subsampling == "420" else 1
     fx = 1 if cfg.subsampling == "444" else 2
-    mh, mw = cb.shape
+    _, yh, yw = img.shape
+    mh, mw = yh // fy, yw // fx
     kh, kw = pt.padded_dims_kernel(mh, mw)
-    # Y is padded to exactly (fy*kh, fx*kw) so the Y grid is an fy x fx
-    # refinement of the chroma grid (what the merge kernel's BlockSpecs
-    # assume).
-    yh, yw = y.shape
-    if (kh, kw) != (mh, mw):
-        cb = jnp.pad(cb, ((0, kh - mh), (0, kw - mw)))
-        cr = jnp.pad(cr, ((0, kh - mh), (0, kw - mw)))
     if (fy * kh, fx * kw) != (yh, yw):
-        y = jnp.pad(y, ((0, fy * kh - yh), (0, fx * kw - yw)))
-    ncg = kw // pt.TILE_W
-    nmch, nmcw = mh // 8, mw // 8
+        img = jnp.pad(
+            img, ((0, 0), (0, fy * kh - yh), (0, fx * kw - yw))
+        )
     interp = jax.default_backend() == "cpu"
     int_mode = cfg.dct_dtype == "int32"
     qdt = np.int32 if int_mode else np.float32
     qtl = jnp.asarray(cfg.luma_quant.astype(qdt))
     qtc = jnp.asarray(cfg.chroma_quant.astype(qdt))
-    raw_y = pt.transform_plane_raw(y, qtl, cfg.bitexact, interpret=interp,
-                                   int_mode=int_mode)
-    raw_c = pt.transform_plane_raw(
-        jnp.concatenate([cb, cr]), qtc, cfg.bitexact, interpret=interp,
+    raw_y = pt.transform_rgb_y_raw(img, qtl, cfg.bitexact,
+                                   interpret=interp, int_mode=int_mode)
+    raw_c = pt.transform_rgb_chroma_raw(
+        img, qtc, cfg.subsampling, cfg.bitexact, interpret=interp,
         int_mode=int_mode,
     )
+    return raw_y, raw_c, (kh, kw, kw // pt.TILE_W, mh // 8, mw // 8)
+
+
+def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
+                           custom_tables=None):
+    """All-Pallas color body, NATURAL layouts end to end: the full-res
+    planar RGB goes straight through the FUSED convert+subsample+
+    transform kernels (_fused_raw_planes), the pre-tiled fused
+    symbolize+pack, and the natural-layout MCU interleave merge (static
+    lane-realign matmuls in pallas_pack.merge_mcu_natural_pallas) — no
+    intermediate YCbCr planes in HBM, no slot-plane pixel relayout, no
+    XLA stack/transpose staging. The only XLA data movement left is the
+    per-block DC scan-order round trip (tiny [nb] arrays)."""
+    from .entropy import pallas_concat, pallas_pack, treepack
+    from .ops import pallas_transform as pt
+
+    fy = 2 if cfg.subsampling == "420" else 1
+    fx = 1 if cfg.subsampling == "444" else 2
+    interp = jax.default_backend() == "cpu"
+    raw_y, raw_c, (kh, kw, ncg, nmch, nmcw) = _fused_raw_planes(img, cfg)
     g = raw_c.shape[0] // 2
 
     # DC chains: Y follows the interleaved scan order (MCU raster, fy x fx
@@ -677,36 +684,9 @@ def _component_levels_raw(img, cfg: EncodeConfig):
     symbol with no code (a silently corrupt stream)."""
     from .ops import pallas_transform as pt
 
-    y, cb, cr = color.rgb_planar_to_ycbcr(img)
-    if cfg.subsampling == "420":
-        cb = color.subsample_420(cb)
-        cr = color.subsample_420(cr)
-    elif cfg.subsampling == "422":
-        cb = color.subsample_422(cb)
-        cr = color.subsample_422(cr)
     fy = 2 if cfg.subsampling == "420" else 1
     fx = 1 if cfg.subsampling == "444" else 2
-    mh, mw = cb.shape
-    kh, kw = pt.padded_dims_kernel(mh, mw)
-    yh, yw = y.shape
-    if (kh, kw) != (mh, mw):
-        cb = jnp.pad(cb, ((0, kh - mh), (0, kw - mw)))
-        cr = jnp.pad(cr, ((0, kh - mh), (0, kw - mw)))
-    if (fy * kh, fx * kw) != (yh, yw):
-        y = jnp.pad(y, ((0, fy * kh - yh), (0, fx * kw - yw)))
-    ncg = kw // pt.TILE_W
-    nmch, nmcw = mh // 8, mw // 8
-    interp = jax.default_backend() == "cpu"
-    int_mode = cfg.dct_dtype == "int32"
-    qdt = np.int32 if int_mode else np.float32
-    qtl = jnp.asarray(cfg.luma_quant.astype(qdt))
-    qtc = jnp.asarray(cfg.chroma_quant.astype(qdt))
-    raw_y = pt.transform_plane_raw(y, qtl, cfg.bitexact, interpret=interp,
-                                   int_mode=int_mode)
-    raw_c = pt.transform_plane_raw(
-        jnp.concatenate([cb, cr]), qtc, cfg.bitexact, interpret=interp,
-        int_mode=int_mode,
-    )
+    raw_y, raw_c, (kh, kw, ncg, nmch, nmcw) = _fused_raw_planes(img, cfg)
     g = raw_c.shape[0] // 2
     raw_c5 = raw_c.reshape(2, g, 64, pt.SUBLANES, pt.LANES)
     zy = pt.raw_to_scan(raw_y, fy * nmch, fx * nmcw, fx * ncg).T

@@ -42,15 +42,21 @@ def chain_ms(body, img_dev, reps=5, k=3):
     f1, fk = chain(1), chain(k)
     jax.device_get((f1(img_dev), fk(img_dev)))
 
-    def t(f):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.device_get(f(img_dev))
-            ts.append(time.perf_counter() - t0)
-        return statistics.median(ts)
-
-    return max((t(fk) - t(f1)) / (k - 1), 1e-9) * 1000
+    # Interleaved per-rep deltas: the tunnel's bandwidth weather moves in
+    # multi-second windows, so timing t1 and tk back to back within each
+    # rep (then taking the min delta) is far more stable than medians of
+    # separately sampled t1/tk populations (measured: separate-sample
+    # deltas swing 0..21 ms on a 7.6 ms body; interleaved min holds
+    # within ~0.5 ms).
+    deltas = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(f1(img_dev))
+        t1 = time.perf_counter()
+        jax.device_get(fk(img_dev))
+        t2 = time.perf_counter()
+        deltas.append((t2 - t1) - (t1 - t0))
+    return max(min(deltas) / (k - 1), 1e-9) * 1000
 
 
 def main():
