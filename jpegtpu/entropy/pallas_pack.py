@@ -282,15 +282,30 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         run = jnp.where(nz, 0, run + 1)
         return state, run
 
+    # Tile-wide last-nonzero coefficient: elements past kmax are zero in
+    # EVERY one of the 1024 blocks, so the AC loop stops there (the
+    # trailing zeros only grow each lane's run, folded into EOB below).
+    # Q50 photographic luma typically quantizes the zigzag tail to zero
+    # across whole tiles (chroma almost always), so this removes most of
+    # the ~420-op loop bodies. Prologue cost: 64 VMEM reads + 2 vector
+    # ops each + one max-reduce.
+    kmax_vec = jnp.zeros(shp, jnp.int32)
+    for k in range(1, 64):
+        kmax_vec = jnp.where(zz_ref[k] != 0, k, kmax_vec)
+    kk = jnp.max(kmax_vec) + 1  # loop bound: elements [1, kk)
+
     carry = (state, jnp.zeros(shp, jnp.int32))
     for lo, hi, mz in ((1, 17, 0), (17, 33, 1), (33, 49, 2), (49, 64, 3)):
         carry = jax.lax.fori_loop(
-            lo, hi, lambda k, c, mz=mz: body(k, c, mz), carry
+            jnp.minimum(lo, kk), jnp.minimum(hi, kk),
+            lambda k, c, mz=mz: body(k, c, mz), carry,
         )
     state, run = carry
 
-    # EOB iff the block's tail is zero
-    eobm = run > 0
+    # EOB iff the block's tail is zero: run counts zeros since the last
+    # nonzero WITHIN the truncated range; elements [kk, 64) are zero in
+    # every lane, so any lane ends in zeros whenever kk < 64 as well.
+    eobm = (run > 0) | (kk < 64)
     state = append(
         state,
         jnp.where(eobm, jnp.uint32(0) + jnp.uint32(eob_code), 0),
