@@ -489,6 +489,241 @@ def concat_segments_pallas(w_t, bits, seg_slots: int,
     return streams, totals
 
 
+def _stitch_kernel(offs_ref, seg_ref, offv_ref, out_ref, *, sr: int,
+                   rg_per_chunk: int, out_rows: int):
+    """Sequential grid over merged-row groups; the out block is the
+    current CHUNK's stream, VMEM-resident across its rg_per_chunk steps
+    (index_map rg // rg_per_chunk — Pallas writes a chunk back to HBM
+    when the block index advances). Each of the 8 merged row-segments
+    ORs in at its chunk-relative ABSOLUTE bit offset (which already
+    includes the byte-aligned restart-segment bases): bit-residue funnel
+    shift, 7 log lane rolls with row wrap, one dynamic-row RMW — the
+    same per-row work as _stream_kernel, but the offsets place whole
+    RESTART SEGMENTS contiguously, so multi-segment encodes finish as
+    ONE device buffer (the single-buffer prefix fetch the unsharded
+    path enjoys) instead of S padded per-segment buffers."""
+    rg = pl.program_id(0)
+
+    @pl.when(rg % rg_per_chunk == 0)
+    def _init():
+        out_ref[...] = jnp.zeros((out_rows, LANES), jnp.uint32)
+
+    w = sr + 2
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    zeros2 = jnp.zeros((2, LANES), jnp.uint32)
+    for s in range(SUBLANES):
+        o_v = offv_ref[s]  # [1, 1] i32
+        x = seg_ref[s]  # [SR, 128]
+        frame = jnp.concatenate([x, zeros2], axis=0)  # [W, 128]
+        rb = jnp.bitwise_and(o_v, 31).astype(jnp.uint32)
+        t32 = jnp.clip(32 - (o_v & 31), 0, 31).astype(jnp.uint32)
+        a1 = pltpu.roll(frame, 1, axis=1)
+        a2 = pltpu.roll(a1, 1, axis=0)
+        prevw = jnp.where(lane_i == 0, a2, a1)
+        frame = jnp.where(
+            o_v & 31 == 0, frame, (frame >> rb) | (prevw << t32)
+        )
+        k = (o_v >> 5) & 127
+        for t in range(7):
+            sh = 1 << t
+            rolled = pltpu.roll(frame, sh, axis=1)
+            rolled = jnp.where(
+                lane_i >= sh, rolled, pltpu.roll(rolled, 1, axis=0)
+            )
+            frame = jnp.where((k >> t) & 1 == 1, rolled, frame)
+        row = offs_ref[rg * SUBLANES + s] >> 12
+        cur = out_ref[pl.ds(row, w), :]
+        out_ref[pl.ds(row, w), :] = cur | frame
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rg_per_chunk", "n_chunks", "out_rows", "interpret"),
+)
+def _stitch_rows(segs, offs, rg_per_chunk: int, n_chunks: int,
+                 out_rows: int, interpret: bool = False):
+    """segs [R, SR, 128] u32 merged row-segments (R = n_chunks *
+    rg_per_chunk * 8), offs [R] i32 chunk-relative absolute bit offsets
+    -> [n_chunks, out_rows, 128] u32 chunk streams."""
+    r, sr = segs.shape[:2]
+    nrg = r // SUBLANES
+    segs4 = segs.reshape(nrg, SUBLANES, sr, LANES)
+    offv = offs.reshape(nrg, SUBLANES, 1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrg,),
+        in_specs=[
+            pl.BlockSpec((None, SUBLANES, sr, LANES),
+                         lambda i, offs_ref: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, 1, 1),
+                         lambda i, offs_ref: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, out_rows, LANES),
+            lambda i, offs_ref: (i // rg_per_chunk, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_stitch_kernel, sr=sr,
+                          rg_per_chunk=rg_per_chunk, out_rows=out_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, out_rows, LANES), jnp.uint32
+        ),
+        interpret=interpret,
+    )(offs.astype(jnp.int32), segs4, offv.astype(jnp.int32))
+
+
+def stitch_plan(s: int, seg128: int, cap: int,
+                budget: int = 14 << 20) -> int:
+    """Segments-per-chunk for the chunked stitch, or 0 if infeasible.
+
+    A chunk is one VMEM-resident output block of the stitch kernel; all
+    chunks hold the same number of segments (the last may carry empty
+    pad segments). One chunk serves all but >~25 MPix gray scans; the
+    multi-chunk split exists so 8K+ scans keep the single-pass stitch
+    (chunk boundaries are segment boundaries, hence byte-aligned, so the
+    host concatenates chunk bytes with plain memcpy)."""
+    sr = cap + 1
+    step_bytes = SUBLANES * sr * LANES * 4
+    avail = budget - 2 * step_bytes
+
+    def chunk_bytes(spc: int) -> int:
+        out_rows = -(-(spc * seg128 * cap) // LANES) + sr + 4
+        return out_rows * LANES * 4
+
+    if chunk_bytes(1) > avail:
+        return 0
+    n_chunks = 1
+    while -(-s // n_chunks) > 1 and chunk_bytes(-(-s // n_chunks)) > avail:
+        n_chunks += 1
+    spc = -(-s // n_chunks)
+    return spc if chunk_bytes(spc) <= avail else 0
+
+
+def stitch_segments_pallas(w_t, bits, seg_slots: int, segs_per_chunk: int,
+                           pad_ones: bool = True,
+                           interpret: bool = False):
+    """Scan-order per-block packed streams -> contiguous device stream(s)
+    with every restart segment byte-aligned and its final-byte padding
+    applied — the device-side replacement for S padded per-segment
+    buffers + host restitching (VERDICT r4 #1/#2). The reference analog:
+    the DSP returns one finished entropy stream to its host
+    (dsp_port/jpeg_client/jpeg_handler.c:168-209).
+
+    w_t [C, S*seg_slots] u32 (seg_slots % 128 == 0; pad blocks must
+    carry zero bits), bits [S*seg_slots] i32. segs_per_chunk from
+    stitch_plan. Returns (chunks [n_chunks, chunk_words] u32,
+    seg_totals [S] i32 bits incl. per-segment byte padding,
+    chunk_totals [n_chunks] i32). Segment s of chunk k starts at byte
+    sum(seg_totals[k*spc : s]) // 8 of chunk k; RST markers and 0xFF
+    stuffing are the host finisher's (native.scan_from_words)."""
+    from ..ops.scan import cumsum_1d
+
+    c, n = w_t.shape
+    s = n // seg_slots
+    assert seg_slots % LANES == 0
+    rows_per_seg = seg_slots // LANES
+    sr = c + 1
+    spc = segs_per_chunk
+    n_chunks = -(-s // spc)
+    s_pad = n_chunks * spc
+    if s_pad != s:
+        w_t = jnp.pad(w_t, ((0, 0), (0, (s_pad - s) * seg_slots)))
+        bits = jnp.pad(bits, (0, (s_pad - s) * seg_slots))
+    n2 = s_pad * seg_slots
+    g = -(-n2 // (SUBLANES * LANES))
+    npad = g * SUBLANES * LANES
+    if npad != n2:
+        w_t = jnp.pad(w_t, ((0, 0), (0, npad - n2)))
+        bits = jnp.pad(bits, (0, npad - n2))
+    w_raw = w_t.reshape(c, g, SUBLANES, LANES).transpose(1, 0, 2, 3)
+    b_raw = bits.reshape(g, SUBLANES, LANES)
+    segs = merge_sublanes_pallas(w_raw, b_raw, interpret=interpret)
+    r_real = s_pad * rows_per_seg
+    segs = segs.reshape(g * SUBLANES, sr, LANES)[:r_real]
+    rowbits = (
+        jnp.sum(b_raw, axis=-1).reshape(-1)[:r_real]
+        .reshape(s_pad, rows_per_seg)
+    )
+    seg_bits = jnp.sum(rowbits, axis=-1)
+    padlen = (-seg_bits) % 8
+    seg_tot = seg_bits + padlen
+    # chunk-relative byte-aligned segment base offsets
+    ends = jax.vmap(cumsum_1d)(seg_tot.reshape(n_chunks, spc))
+    base = (ends - seg_tot.reshape(n_chunks, spc)).reshape(s_pad)
+    chunk_totals = ends[:, -1].astype(jnp.int32)
+    inrow = jax.vmap(cumsum_1d)(rowbits)
+    offs = (inrow - rowbits + base[:, None]).reshape(-1)
+    # pad each chunk's rows to a whole number of 8-row grid groups
+    cpr = spc * rows_per_seg
+    cpr8 = -(-cpr // SUBLANES) * SUBLANES
+    if cpr8 != cpr:
+        segs = jnp.pad(
+            segs.reshape(n_chunks, cpr, sr, LANES),
+            ((0, 0), (0, cpr8 - cpr), (0, 0), (0, 0)),
+        ).reshape(n_chunks * cpr8, sr, LANES)
+        offs = jnp.pad(
+            offs.reshape(n_chunks, cpr), ((0, 0), (0, cpr8 - cpr))
+        ).reshape(-1)
+    out_rows = -(-(spc * seg_slots * c) // LANES) + sr + 4
+    chunks = _stitch_rows(
+        segs, offs, rg_per_chunk=cpr8 // SUBLANES, n_chunks=n_chunks,
+        out_rows=out_rows, interpret=interpret,
+    ).reshape(n_chunks, out_rows * LANES)
+    if pad_ones:
+        # Per-segment 1s padding to the byte boundary: each pad sits in
+        # the single word holding bit (base + seg_bits) of its chunk —
+        # bits the stitch left zero, so scatter-add == OR (and pads of
+        # different segments can never share a word: a segment is >= 128
+        # blocks >= 96 bytes).
+        t = base + seg_bits
+        widx = t >> 5
+        off32 = (t & 31).astype(jnp.uint32)
+        mask = jnp.where(
+            padlen > 0,
+            ((jnp.uint32(1) << padlen.astype(jnp.uint32)) - 1)
+            << jnp.clip(
+                32 - off32 - padlen.astype(jnp.uint32), 0, 31
+            ).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        cidx = jnp.arange(s_pad) // spc
+        flat = chunks.reshape(-1)
+        flat = flat.at[cidx * (out_rows * LANES) + widx].add(mask)
+        chunks = flat.reshape(n_chunks, out_rows * LANES)
+    return chunks, seg_tot[:s].astype(jnp.int32), chunk_totals
+
+
+def stitch_from_blocks(w_t, bits, seg_slots: int, pad_ones: bool = True,
+                       interpret: bool = False):
+    """Convenience wrapper: pads seg_slots up to a 128 multiple (merge
+    rows must not straddle segment boundaries) and plans the chunking.
+    Returns None when the stitch is infeasible for this geometry (caller
+    falls back to per-segment buffers); else
+    (chunks, seg_totals, chunk_totals) per stitch_segments_pallas."""
+    c, n = w_t.shape
+    s = n // seg_slots
+    seg128 = -(-seg_slots // LANES) * LANES
+    spc = stitch_plan(s, seg128, c)
+    if spc == 0:
+        return None
+    if seg128 != seg_slots:
+        w_t = jnp.pad(
+            w_t.reshape(c, s, seg_slots),
+            ((0, 0), (0, 0), (0, seg128 - seg_slots)),
+        ).reshape(c, s * seg128)
+        bits = jnp.pad(
+            bits.reshape(s, seg_slots), ((0, 0), (0, seg128 - seg_slots))
+        ).reshape(-1)
+    return stitch_segments_pallas(
+        w_t, bits, seg128, spc, pad_ones=pad_ones, interpret=interpret
+    )
+
+
 def fits_vmem(nbh: int, nbw: int, cap: int, ncg: int,
               budget: int = 14 << 20) -> bool:
     """Whether the VMEM-resident output buffer of stream_concat_pallas

@@ -252,6 +252,173 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     return jfif.assemble(w, h, config, segments)
 
 
+def stitch_geometry(nb: int, seg_blocks: int, cap: int):
+    """Static stitch plan for a segmented scan: (n_seg, segs_per_chunk);
+    segs_per_chunk == 0 means the stitch is infeasible (fall back to
+    per-segment buffers)."""
+    from .entropy import pallas_concat
+
+    n_seg = -(-nb // seg_blocks)
+    seg128 = -(-seg_blocks // pallas_concat.LANES) * pallas_concat.LANES
+    return n_seg, pallas_concat.stitch_plan(n_seg, seg128, cap)
+
+
+def _gray_restart_body_raw(img, cfg: EncodeConfig, is_rgb: bool, cap: int,
+                           seg_blocks: int, spc: int, custom_tables=None):
+    """All-Pallas restart-interval grayscale body: the SAME raw chain as
+    the flagship single-segment path (_gray_encode_body_raw) — fused
+    Pallas transform, fused symbolize+pack — but with the DC predictor
+    reset every seg_blocks blocks (T.81 F.1.2.3) and the per-block
+    streams stitched into ONE contiguous device buffer of byte-aligned
+    restart segments (pallas_concat.stitch_segments_pallas). Returns
+    (chunks [n_chunks, W] u32, seg_totals [S] i32, chunk_totals
+    [n_chunks] i32, overflow). The host finishes with one speculative
+    prefix fetch + native.scan_from_words — no per-segment buffers, no
+    full-capacity download (VERDICT r4 #1/#2)."""
+    from .entropy import pallas_concat, pallas_pack
+    from .ops import color as color_ops, pallas_transform as pt
+
+    y = color_ops.rgb_to_y_reference(img) if is_rgb else img
+    h, w = y.shape
+    nbh, nbw = h // 8, w // 8
+    nb = nbh * nbw
+    n_seg = -(-nb // seg_blocks)
+    n_total = n_seg * seg_blocks
+    kh, kw = pt.padded_dims_kernel(h, w)
+    if (kh, kw) != (h, w):
+        y = jnp.pad(y, ((0, kh - h), (0, kw - w)))
+    ncg = kw // pt.TILE_W
+    interp = jax.default_backend() == "cpu"
+    int_mode = cfg.dct_dtype == "int32"
+    qtable_np = cfg.luma_quant.astype(
+        np.int32 if int_mode else np.float32
+    )
+    raw = pt.transform_plane_raw(
+        y, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp,
+        int_mode=int_mode,
+    )
+    dc_scan = pt.raw_to_scan(raw[:, :1], nbh, nbw, ncg)[0]
+    dcd = entropy_device.dc_differences(dc_scan, seg_blocks)
+    dcd_raw = pt.scan_to_raw(dcd, nbh, nbw, ncg)
+    w_raw, b_raw, _ = pallas_pack.encode_blocks_pallas(
+        raw, dcd_raw, cap=cap, table=0, custom_tables=custom_tables,
+        interpret=interp, raw=True,
+    )
+    # Relayout to scan order: [cap, nb] words + [nb] bits — small per-
+    # block outputs, never the 64-wide levels (the raw-chain rule).
+    w_t = pt.raw_to_scan(w_raw, nbh, nbw, ncg)
+    bits = pt.raw_to_scan(b_raw[:, None], nbh, nbw, ncg)[0]
+    overflow = jnp.any(bits > cap * 32)
+    if n_total != nb:
+        w_t = jnp.pad(w_t, ((0, 0), (0, n_total - nb)))
+        bits = jnp.pad(bits, (0, n_total - nb))
+    seg128 = -(-seg_blocks // pallas_concat.LANES) * pallas_concat.LANES
+    if seg128 != seg_blocks:
+        w_t = jnp.pad(
+            w_t.reshape(cap, n_seg, seg_blocks),
+            ((0, 0), (0, 0), (0, seg128 - seg_blocks)),
+        ).reshape(cap, n_seg * seg128)
+        bits = jnp.pad(
+            bits.reshape(n_seg, seg_blocks),
+            ((0, 0), (0, seg128 - seg_blocks)),
+        ).reshape(-1)
+    chunks, seg_tot, chunk_tot = pallas_concat.stitch_segments_pallas(
+        w_t, bits, seg128, spc, pad_ones=cfg.pad_ones, interpret=interp
+    )
+    return chunks, seg_tot, chunk_tot, overflow
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_gray_restart_stitched(
+    ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool,
+    cap_words_per_block: int, seg_blocks: int, spc: int,
+):
+    """Jitted stitched restart encode (raw Pallas chain end to end)."""
+
+    @jax.jit
+    def fn(img):
+        return _gray_restart_body_raw(
+            img, cfg, is_rgb, cap_words_per_block, seg_blocks, spc
+        )
+
+    return fn
+
+
+def fetch_stitched(chunks, seg_tot_dev, chunk_tot_dev, overflow_dev,
+                   spec_key=None):
+    """One-roundtrip speculative fetch for stitched multi-segment output:
+    (overflow, per-segment totals, chunk totals, every chunk's word
+    prefix) in ONE device_get — the multi-segment twin of
+    fetch_stream_words. Returns (list of per-chunk word arrays,
+    seg_totals np) or (None, None) on capacity overflow."""
+    n_chunks, wpc = chunks.shape
+    hist = _spec_history.get(spec_key) if spec_key is not None else None
+    if isinstance(hist, list) and len(hist) == n_chunks:
+        spec_words = [_spec_bucket(hh + hh // 4) for hh in hist]
+    else:
+        spec_words = [_SPEC_BYTES // 4] * n_chunks
+    spec_words = [min(sw, wpc) for sw in spec_words]
+    fetched = jax.device_get(
+        (overflow_dev, seg_tot_dev, chunk_tot_dev,
+         *[chunks[i, : spec_words[i]] for i in range(n_chunks)])
+    )
+    overflow, seg_tot, chunk_tot = fetched[:3]
+    heads = fetched[3:]
+    if bool(overflow):
+        return None, None
+    nws = [(int(t) + 31) // 32 for t in chunk_tot]
+    if spec_key is not None:
+        _spec_history.pop(spec_key, None)
+        _spec_history[spec_key] = nws
+        while len(_spec_history) > _SPEC_HISTORY_MAX:
+            _spec_history.pop(next(iter(_spec_history)))
+    words = []
+    for i in range(n_chunks):
+        if nws[i] <= spec_words[i]:
+            words.append(heads[i][: nws[i]])
+        else:
+            rest = fetch_prefix_words(
+                chunks[i, spec_words[i] :], nws[i] - spec_words[i]
+            )
+            words.append(np.concatenate([heads[i], rest]))
+    return words, np.asarray(seg_tot)
+
+
+def scan_from_stitched(words_list, seg_totals: np.ndarray, spc: int,
+                       rst_phase: int = 0, trailing: bool = False) -> bytes:
+    """Per-chunk word arrays + per-segment bit totals -> the complete
+    RST-delimited stuffed scan (marker after global segment j is
+    RST((rst_phase + j) % 8)). Native one-pass finish when available,
+    numpy fallback otherwise."""
+    from . import native
+    from .io import jfif
+
+    n_seg = len(seg_totals)
+    use_native = native.available()
+    parts = []
+    for ci, wl in enumerate(words_list):
+        lo = ci * spc
+        hi = min(lo + spc, n_seg)
+        seg_bytes = (seg_totals[lo:hi] // 8).astype(np.int64)
+        tr = trailing or hi < n_seg
+        if use_native:
+            parts.append(native.scan_from_words(
+                wl, seg_bytes, rst_phase=(rst_phase + lo) & 7,
+                trailing=tr,
+            ))
+            continue
+        be = np.ascontiguousarray(wl).astype(">u4").tobytes()
+        off = 0
+        for j, nb in enumerate(seg_bytes):
+            seg = np.frombuffer(be, np.uint8, count=int(nb), offset=off)
+            off += int(nb)
+            parts.append(entropy_host.stuff_bytes(seg))
+            gi = lo + j
+            if gi < n_seg - 1 or trailing:
+                parts.append(jfif.rst((rst_phase + gi) & 7))
+    return b"".join(parts)
+
+
 @functools.lru_cache(maxsize=64)
 def _encode_gray_restart_device(
     ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool,
@@ -260,7 +427,10 @@ def _encode_gray_restart_device(
     """Jitted restart-interval grayscale encode: N restart segments packed
     as N independent byte-aligned streams in ONE program (T.81 DRI; the
     same per-segment mechanics each mesh shard runs in parallel.sharding,
-    here on the segment axis of a single chip)."""
+    here on the segment axis of a single chip). Retained as the fallback
+    for capacity rungs past the raw path (cap > 16) and geometries the
+    stitch cannot serve; the flagship restart path is
+    _encode_gray_restart_stitched."""
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb = (ph // 8) * (pw // 8)
@@ -310,7 +480,8 @@ def _encode_restart_segments_device(
     image: np.ndarray, config: EncodeConfig
 ) -> list[bytes]:
     """Device encode honoring restart_interval on one chip: returns the
-    per-segment entropy byte strings for jfif.assemble."""
+    per-segment entropy byte strings (or ONE pre-joined RST-delimited
+    scan — the stitched fast path) for jfif.assemble."""
     is_rgb = image.ndim == 3
     h, w = image.shape[:2]
     ph, pw = blocks.padded_dims(h, w)
@@ -319,7 +490,25 @@ def _encode_restart_segments_device(
         image = np.pad(image, pad, mode="edge")
     img_dev = jnp.asarray(image)
     key = (ph, pw, config, is_rgb, "restart")
+    nb = (ph // 8) * (pw // 8)
+    seg_blocks = config.restart_interval
     for cap in capacity_ladder(config, key):
+        spc = stitch_geometry(nb, seg_blocks, cap)[1] if cap <= 16 else 0
+        if spc:
+            # Flagship path: raw Pallas chain + device stitch -> one
+            # buffer, one speculative fetch, one native scan pass.
+            fn = _encode_gray_restart_stitched(
+                ph, pw, config, is_rgb, cap, seg_blocks, spc
+            )
+            chunks, seg_tot, chunk_tot, overflow = fn(img_dev)
+            words, seg_np = fetch_stitched(
+                chunks, seg_tot, chunk_tot, overflow,
+                spec_key=(ph, pw, config, "restart"),
+            )
+            if words is not None:
+                record_cap(key, cap)
+                return [scan_from_stitched(words, seg_np, spc)]
+            continue
         fn = _encode_gray_restart_device(ph, pw, config, is_rgb, cap)
         streams, totals, overflow = fn(img_dev)
         if not bool(overflow):
@@ -622,11 +811,14 @@ def _encode_grayscale_optimized_device(
 
 @functools.lru_cache(maxsize=32)
 def _gray_restart_stats_fn(ph: int, pw: int, cfg: EncodeConfig,
-                           is_rgb: bool):
+                           is_rgb: bool, raw: bool = False):
     """Pass 1 of device 2-pass optimal coding WITH restart intervals:
-    symbol histograms with the DC predictor reset at each segment start
-    (the same chains _encode_gray_restart_device packs); pad blocks
-    beyond the last real MCU are excluded via the valid mask."""
+    symbol histograms with the DC predictor reset at each segment start;
+    pad blocks beyond the last real MCU are excluded via the valid mask.
+    raw=True histograms the RAW Pallas-transform levels — mandatory when
+    pass 2 rides the stitched raw chain, since XLA/Pallas float
+    pipelines can split rounding ties and a symbol with pass-1 frequency
+    0 would get no code (see _gray_levels_raw_scan)."""
     basis_np = cfg.dct_basis()
     qtable_np = cfg.luma_quant.astype(np.float32)
     nb = (ph // 8) * (pw // 8)
@@ -635,14 +827,36 @@ def _gray_restart_stats_fn(ph: int, pw: int, cfg: EncodeConfig,
 
     @jax.jit
     def fn(img):
-        zz = _gray_levels(
-            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np), is_rgb
-        ).astype(jnp.int32)
+        if raw:
+            zz = _gray_levels_raw_scan(img, cfg, is_rgb).astype(jnp.int32)
+        else:
+            zz = _gray_levels(
+                img, cfg, jnp.asarray(basis_np), jnp.asarray(qtable_np),
+                is_rgb,
+            ).astype(jnp.int32)
         if n_total != nb:
             zz = jnp.pad(zz, ((0, n_total - nb), (0, 0)))
         dcd = entropy_device.dc_differences(zz[:, 0], seg_blocks)
         valid = jnp.arange(n_total) < nb
         return entropy_device.symbol_histograms(zz, dc_diff=dcd, valid=valid)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_gray_restart_stitched_rt(
+    ph: int, pw: int, cfg: EncodeConfig, is_rgb: bool,
+    cap_words_per_block: int, seg_blocks: int, spc: int,
+):
+    """_encode_gray_restart_stitched with RUNTIME Huffman tables — pass 2
+    of restart-interval 2-pass optimal coding on the stitched raw chain."""
+
+    @jax.jit
+    def fn(img, tabs):
+        return _gray_restart_body_raw(
+            img, cfg, is_rgb, cap_words_per_block, seg_blocks, spc,
+            custom_tables=tabs,
+        )
 
     return fn
 
@@ -695,8 +909,17 @@ def _encode_grayscale_optimized_restart_device(
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
         image = np.pad(image, pad, mode="edge")
     img_dev = jnp.asarray(image)
+    nb = (ph // 8) * (pw // 8)
+    seg_blocks = config.restart_interval
+    # The stitched raw chain serves pass 2 when its plan is feasible at
+    # every fused-path rung; pass 1 then histograms the SAME raw levels
+    # (tie-splits between transform pipelines must never reach a symbol
+    # whose pass-1 frequency was floored to zero).
+    use_raw = all(
+        stitch_geometry(nb, seg_blocks, c)[1] > 0 for c in (8, 16)
+    )
     stats = jax.device_get(
-        _gray_restart_stats_fn(ph, pw, config, is_rgb)(img_dev)
+        _gray_restart_stats_fn(ph, pw, config, is_rgb, raw=use_raw)(img_dev)
     )
     # FLOORED: two separately compiled programs (see floor_frequencies)
     freqs = tables.floor_frequencies(
@@ -714,6 +937,22 @@ def _encode_grayscale_optimized_restart_device(
     for cap in capacity_ladder(config, key):
         if cap > 16:
             break  # runtime tables ride the fused path only
+        if use_raw:
+            spc = stitch_geometry(nb, seg_blocks, cap)[1]
+            fn = _encode_gray_restart_stitched_rt(
+                ph, pw, config, is_rgb, cap, seg_blocks, spc
+            )
+            chunks, seg_tot, chunk_tot, overflow = fn(img_dev, tabs)
+            words, seg_np = fetch_stitched(
+                chunks, seg_tot, chunk_tot, overflow,
+                spec_key=(ph, pw, config, "restart-opt"),
+            )
+            if words is not None:
+                record_cap(key, cap)
+                scan = scan_from_stitched(words, seg_np, spc)
+                return jfif.assemble(w, h, config, [scan],
+                                     huffman_specs=specs)
+            continue
         fn = _encode_gray_restart_device_rt(ph, pw, config, is_rgb, cap)
         streams, totals, overflow = fn(img_dev, tabs)
         if not bool(overflow):
