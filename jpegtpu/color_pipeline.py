@@ -234,9 +234,12 @@ def _dc_diff_slot_major(d_sm, period_mcu: int):
     return d_sm - prev
 
 
-def _y_dc_diff_natural(dc, subsampling: str):
+def _y_dc_diff_natural(dc, subsampling: str, seg_mcus: int = 0):
     """[R, C] raster Y-plane DCs -> scan-order DC differences, still in
-    [R, C] raster layout.
+    [R, C] raster layout. seg_mcus > 0 resets the predictor at the first
+    Y slot of every seg_mcus-th MCU (T.81 restart segments): the Y chain
+    is sequential in scan order, so zeroing that single cross-segment
+    link is the complete reset.
 
     The interleaved scan's predecessor of each Y block is one of a few
     STATIC neighbors determined by (row, col) parity, so the whole diff
