@@ -261,21 +261,28 @@ def _y_dc_diff_natural(dc, subsampling: str, seg_mcus: int = 0):
     # wrap column: dc[r-1, C-1] per row (0 for row 0 == global first)
     lastcol_up = jnp.pad(dc[:-1, -1], (1, 0))[:, None]
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
     if subsampling != "420":
         pred = jnp.where(cols == 0, lastcol_up, left)
-        return dc - pred
-    up_right = jnp.pad(dc[:-1, 1:], ((1, 0), (0, 1)))
-    down_left = jnp.pad(dc[1:, :-1], ((0, 1), (1, 0)))
-    rows = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
-    pred = jnp.where(
-        cols % 2 == 1,
-        left,
-        jnp.where(
-            rows % 2 == 1,
-            up_right,
-            jnp.where(cols == 0, lastcol_up, down_left),
-        ),
-    )
+    else:
+        up_right = jnp.pad(dc[:-1, 1:], ((1, 0), (0, 1)))
+        down_left = jnp.pad(dc[1:, :-1], ((0, 1), (1, 0)))
+        pred = jnp.where(
+            cols % 2 == 1,
+            left,
+            jnp.where(
+                rows % 2 == 1,
+                up_right,
+                jnp.where(cols == 0, lastcol_up, down_left),
+            ),
+        )
+    if seg_mcus:
+        fy = 2 if subsampling == "420" else 1
+        fxw = 1 if subsampling == "444" else 2
+        nmcw = c // fxw
+        m = (rows // fy) * nmcw + cols // fxw
+        first = (cols % fxw == 0) & (rows % fy == 0)
+        pred = jnp.where(first & (m % seg_mcus == 0), 0, pred)
     return dc - pred
 
 
@@ -492,17 +499,14 @@ def _fused_raw_planes(img, cfg: EncodeConfig):
     return raw_y, raw_c, (kh, kw, kw // pt.TILE_W, mh // 8, mw // 8)
 
 
-def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
-                           custom_tables=None):
-    """All-Pallas color body, NATURAL layouts end to end: the full-res
-    planar RGB goes straight through the FUSED convert+subsample+
-    transform kernels (_fused_raw_planes), the pre-tiled fused
-    symbolize+pack, and the natural-layout MCU interleave merge (static
-    lane-realign matmuls in pallas_pack.merge_mcu_natural_pallas) — no
-    intermediate YCbCr planes in HBM, no slot-plane pixel relayout, no
-    XLA stack/transpose staging. The only XLA data movement left is the
-    per-block DC scan-order round trip (tiny [nb] arrays)."""
-    from .entropy import pallas_concat, pallas_pack, treepack
+def _color_merged_raw(img, cfg: EncodeConfig, cap: int, seg_mcus: int = 0,
+                      custom_tables=None):
+    """Shared all-Pallas color front half: planar RGB -> per-MCU merged
+    packed streams in the CHROMA grid-natural layout. seg_mcus > 0
+    resets every DC chain at each seg_mcus-th MCU (restart segments).
+    Returns (merged [Gc, mcap, 8, 128] u32, mbits [Gc, 8, 128] i32,
+    overflow, (ncg, nmch, nmcw))."""
+    from .entropy import pallas_pack
     from .ops import pallas_transform as pt
 
     fy = 2 if cfg.subsampling == "420" else 1
@@ -520,7 +524,7 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
     nbh_y, nbw_y = fy * nmch, fx * nmcw
     dc_y = pt.raw_to_scan(raw_y[:, :1], nbh_y, nbw_y, fx * ncg)[0]
     dcd_nat = _y_dc_diff_natural(
-        dc_y.reshape(nbh_y, nbw_y), cfg.subsampling
+        dc_y.reshape(nbh_y, nbw_y), cfg.subsampling, seg_mcus
     ).reshape(-1)
     dcd_y_raw = pt.scan_to_raw(dcd_nat, nbh_y, nbw_y, fx * ncg)
     raw_c5 = raw_c.reshape(2, g, 64, pt.SUBLANES, pt.LANES)
@@ -530,7 +534,7 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
             for i in range(2)
         ]
     )
-    dcd_c = _dc_diff_rows(dc_c, 0)
+    dcd_c = _dc_diff_rows(dc_c, seg_mcus)
     dcd_c_raw = jnp.stack(
         [pt.scan_to_raw(dcd_c[i], nmch, nmcw, ncg) for i in range(2)]
     ).reshape(2 * g, pt.SUBLANES, pt.LANES)
@@ -554,6 +558,26 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
         nrg_c=kh // pt.TILE_H, ncg_c=ncg,
         subsampling=cfg.subsampling, interpret=interp,
     )
+    return merged, mbits, overflow, (ncg, nmch, nmcw)
+
+
+def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
+                           custom_tables=None):
+    """All-Pallas color body, NATURAL layouts end to end: the full-res
+    planar RGB goes straight through the FUSED convert+subsample+
+    transform kernels (_fused_raw_planes), the pre-tiled fused
+    symbolize+pack, and the natural-layout MCU interleave merge (static
+    lane-realign matmuls in pallas_pack.merge_mcu_natural_pallas) — no
+    intermediate YCbCr planes in HBM, no slot-plane pixel relayout, no
+    XLA stack/transpose staging. The only XLA data movement left is the
+    per-block DC scan-order round trip (tiny [nb] arrays)."""
+    from .entropy import pallas_concat, treepack
+    from .ops import pallas_transform as pt
+
+    interp = jax.default_backend() == "cpu"
+    merged, mbits, overflow, (ncg, nmch, nmcw) = _color_merged_raw(
+        img, cfg, cap, custom_tables=custom_tables
+    )
     mcap = merged.shape[1]
     if pallas_concat.fits_vmem(nmch, nmcw, mcap, ncg):
         words, total_bits = pallas_concat.concat_raw_pallas(
@@ -570,6 +594,88 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
         return words, total_bits, overflow
     out, nbytes = entropy_device.stuff_bytes_device(words, total_bits)
     return out, nbytes, overflow
+
+
+def _color_restart_body_raw(img, cfg: EncodeConfig, cap: int,
+                            seg_mcus: int, spc: int, custom_tables=None):
+    """All-Pallas restart-interval color body: the raw chain of
+    _color_encode_body_raw with per-segment DC resets, the per-MCU
+    merged streams stitched into ONE contiguous device buffer of
+    byte-aligned restart segments (pallas_concat.stitch_segments_pallas;
+    an MCU plays the 'block' role with capacity mcap = slots * cap).
+    Returns (chunks, seg_totals, chunk_totals, overflow) — the host
+    finishes exactly like the grayscale stitched path
+    (pipeline.fetch_stitched + scan_from_stitched)."""
+    from .entropy import pallas_concat
+    from .ops import pallas_transform as pt
+
+    interp = jax.default_backend() == "cpu"
+    merged, mbits, overflow, (ncg, nmch, nmcw) = _color_merged_raw(
+        img, cfg, cap, seg_mcus=seg_mcus, custom_tables=custom_tables
+    )
+    mcap = merged.shape[1]
+    w_t = pt.raw_to_scan(merged, nmch, nmcw, ncg)  # [mcap, nmcu]
+    bits = pt.raw_to_scan(mbits[:, None], nmch, nmcw, ncg)[0]
+    nmcu = nmch * nmcw
+    n_seg = -(-nmcu // seg_mcus)
+    n_total = n_seg * seg_mcus
+    if n_total != nmcu:
+        w_t = jnp.pad(w_t, ((0, 0), (0, n_total - nmcu)))
+        bits = jnp.pad(bits, (0, n_total - nmcu))
+    seg128 = -(-seg_mcus // pallas_concat.LANES) * pallas_concat.LANES
+    if seg128 != seg_mcus:
+        w_t = jnp.pad(
+            w_t.reshape(mcap, n_seg, seg_mcus),
+            ((0, 0), (0, 0), (0, seg128 - seg_mcus)),
+        ).reshape(mcap, n_seg * seg128)
+        bits = jnp.pad(
+            bits.reshape(n_seg, seg_mcus),
+            ((0, 0), (0, seg128 - seg_mcus)),
+        ).reshape(-1)
+    chunks, seg_tot, chunk_tot = pallas_concat.stitch_segments_pallas(
+        w_t, bits, seg128, spc, pad_ones=cfg.pad_ones, interpret=interp
+    )
+    return chunks, seg_tot, chunk_tot, overflow
+
+
+def color_stitch_geometry(ph: int, pw: int, cfg: EncodeConfig,
+                          seg_mcus: int, cap: int):
+    """Static stitch plan for a segmented color scan:
+    (n_seg, segs_per_chunk); 0 segs_per_chunk -> infeasible."""
+    from .entropy import pallas_concat
+
+    mh, mw = mcu_dims(cfg.subsampling)
+    nmcu = (ph // mh) * (pw // mw)
+    mcap = slots_per_mcu(cfg.subsampling) * cap
+    n_seg = -(-nmcu // seg_mcus)
+    seg128 = -(-seg_mcus // pallas_concat.LANES) * pallas_concat.LANES
+    return n_seg, pallas_concat.stitch_plan(n_seg, seg128, mcap)
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_color_restart_stitched(
+    ph: int, pw: int, cfg: EncodeConfig, cap_words_per_block: int,
+    spc: int, rt: bool = False,
+):
+    """Jitted stitched restart color encode (raw Pallas chain end to
+    end); rt=True threads runtime Huffman tables (2-pass pass 2)."""
+    seg_mcus = cfg.restart_interval
+
+    if rt:
+        @jax.jit
+        def fn(img, tabs_l, tabs_c):
+            return _color_restart_body_raw(
+                img, cfg, cap_words_per_block, seg_mcus, spc,
+                custom_tables=(tabs_l, tabs_c),
+            )
+    else:
+        @jax.jit
+        def fn(img):
+            return _color_restart_body_raw(
+                img, cfg, cap_words_per_block, seg_mcus, spc
+            )
+
+    return fn
 
 
 def color_encode_body(img, cfg: EncodeConfig, cap_words_per_block: int,
@@ -805,11 +911,14 @@ def _encode_color_optimized_device(
 
 
 @functools.lru_cache(maxsize=16)
-def _color_restart_stats_fn(ph: int, pw: int, cfg: EncodeConfig):
+def _color_restart_stats_fn(ph: int, pw: int, cfg: EncodeConfig,
+                            raw: bool = False):
     """Pass 1 of device 2-pass optimal color coding WITH restart
     intervals: histograms with per-component DC chains reset at each
-    restart segment (the same chains _encode_color_restart_device
-    packs); pad slots beyond the last real MCU are masked out."""
+    restart segment (the same chains pass 2 packs); pad slots beyond
+    the last real MCU are masked out. raw=True histograms the raw
+    Pallas-transform levels — mandatory when pass 2 rides the stitched
+    raw chain (see pipeline._gray_levels_raw_scan rationale)."""
     basis_np = cfg.dct_basis()
     qtl_np = cfg.luma_quant.astype(np.float32)
     qtc_np = cfg.chroma_quant.astype(np.float32)
@@ -822,10 +931,15 @@ def _color_restart_stats_fn(ph: int, pw: int, cfg: EncodeConfig):
 
     @jax.jit
     def fn(img):
-        zz = _color_levels(
-            img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
-            jnp.asarray(qtc_np),
-        ).astype(jnp.int32)
+        if raw:
+            zy, zcb, zcr = _component_levels_raw(img, cfg)
+            allz = jnp.concatenate([zy, zcb, zcr], axis=0).astype(jnp.int32)
+            zz = allz[jnp.asarray(_gidx)]
+        else:
+            zz = _color_levels(
+                img, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+                jnp.asarray(qtc_np),
+            ).astype(jnp.int32)
         if n_total != nslots:
             zz = jnp.pad(zz, ((0, n_total - nslots), (0, 0)))
         dcd = _per_component_dc_diff(zz[:, 0], comp_pad, seg_slots)
@@ -883,7 +997,14 @@ def _encode_color_optimized_restart_device(
 
     ph, pw = image.shape[:2]
     img_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0)))
-    stats = jax.device_get(_color_restart_stats_fn(ph, pw, config)(img_dev))
+    seg_mcus = config.restart_interval
+    use_raw = all(
+        color_stitch_geometry(ph, pw, config, seg_mcus, c)[1] > 0
+        for c in (8, 16)
+    )
+    stats = jax.device_get(
+        _color_restart_stats_fn(ph, pw, config, raw=use_raw)(img_dev)
+    )
     freqs = tables.floor_frequencies(
         entropy_device.assemble_histograms(stats)
     )
@@ -902,6 +1023,21 @@ def _encode_color_optimized_restart_device(
     for cap in pipeline.capacity_ladder(config, key):
         if cap > 16:
             break  # runtime tables ride the fused path only
+        if use_raw:
+            spc = color_stitch_geometry(ph, pw, config, seg_mcus, cap)[1]
+            fn = _encode_color_restart_stitched(
+                ph, pw, config, cap, spc, rt=True
+            )
+            chunks, seg_tot, chunk_tot, overflow = fn(img_dev, *tabs)
+            words, seg_np = pipeline.fetch_stitched(
+                chunks, seg_tot, chunk_tot, overflow, spec_key=key
+            )
+            if words is not None:
+                pipeline.record_cap(key, cap)
+                scan = pipeline.scan_from_stitched(words, seg_np, spc)
+                return jfif.assemble(w, h, config, [scan],
+                                     huffman_specs=specs)
+            continue
         fn = _encode_color_restart_device_rt(ph, pw, config, cap)
         streams, totals, overflow = fn(img_dev, *tabs)
         if not bool(overflow):
@@ -997,15 +1133,35 @@ def encode_color(image: np.ndarray, config: EncodeConfig | None = None) -> bytes
         raise AssertionError("worst-case entropy capacity overflowed (bug)")
 
     if config.entropy == "device":
-        # restart_interval on one chip: N byte-aligned segments in one
-        # program (same segment machinery the mesh shards use).
+        # restart_interval on one chip: the stitched raw chain emits ONE
+        # contiguous device buffer of byte-aligned segments (same
+        # machinery as the grayscale stitched path); per-segment buffers
+        # remain the worst-case-capacity fallback.
         from . import pipeline
 
         img_dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(image, -1, 0)))
-        for cap in pipeline.capacity_ladder(config):
+        key = (ph, pw, config, "color-restart")
+        seg_mcus = config.restart_interval
+        for cap in pipeline.capacity_ladder(config, key):
+            spc = (
+                color_stitch_geometry(ph, pw, config, seg_mcus, cap)[1]
+                if cap <= 16 else 0
+            )
+            if spc:
+                fn = _encode_color_restart_stitched(ph, pw, config, cap, spc)
+                chunks, seg_tot, chunk_tot, overflow = fn(img_dev)
+                words, seg_np = pipeline.fetch_stitched(
+                    chunks, seg_tot, chunk_tot, overflow, spec_key=key
+                )
+                if words is not None:
+                    pipeline.record_cap(key, cap)
+                    scan = pipeline.scan_from_stitched(words, seg_np, spc)
+                    return jfif.assemble(w, h, config, [scan])
+                continue
             fn = _encode_color_restart_device(ph, pw, config, cap)
             streams, totals, overflow = fn(img_dev)
             if not bool(overflow):
+                pipeline.record_cap(key, cap)
                 streams, totals = jax.device_get((streams, totals))
                 segments = pipeline.segments_from_streams(streams, totals)
                 return jfif.assemble(w, h, config, segments)
@@ -1071,6 +1227,11 @@ def encode_color_sharded(
         P(None, "shard", None),  # planar [3, H, W], bands along H
     )
 
+    use_stitched = _jax.process_count() == 1 and all(
+        sharded_color_stitch_plan(ph, pw, config, n, c)[1] > 0
+        for c in (8, 16)
+    )
+
     specs = None
     if config.optimize_huffman:
         # Sharded color 2-pass: psum'd per-shard histograms -> every
@@ -1078,11 +1239,14 @@ def encode_color_sharded(
         # Frequencies FLOORED (tables.floor_frequencies): the two passes
         # are separate XLA programs whose f32 levels may split rounding
         # ties, and a flipped tie must never select a code-less symbol.
+        # Pass 1 histograms the levels of whichever transform pass 2
+        # runs (raw Pallas on the stitched path, staged XLA otherwise).
         from . import tables
         from .entropy import pallas_pack
 
         stats = _jax.device_get(
-            _sharded_color_stats_fn(mesh, ph, pw, config)(img_global)
+            _sharded_color_stats_fn(mesh, ph, pw, config,
+                                    raw=use_stitched)(img_global)
         )
         freqs = tables.floor_frequencies(
             entropy_device.assemble_histograms(stats)
@@ -1099,12 +1263,46 @@ def encode_color_sharded(
             for kind in ("lum", "chrom")
         )
 
+    mcu_w = mcu_dims(config.subsampling)[1]
+    restart_cfg = EncodeConfig(
+        quality=config.quality,
+        subsampling=config.subsampling,
+        restart_interval=restart_subsegments(ph // n // mcu_rows, pw // mcu_w),
+        pad_ones=config.pad_ones,
+        bitexact=config.bitexact,
+    )
+
     for cap in _pipeline.capacity_ladder(config):
         if specs is not None and cap > 16:
             # Runtime tables ride the fused path only; pathological
             # content degrades to the standard-table sharded encode
             # instead of failing (see sharding.encode_grayscale_sharded).
             specs = None
+        if use_stitched and cap <= 16:
+            from .parallel.sharding import fetch_stitched_shards
+
+            k, spc = sharded_color_stitch_plan(ph, pw, config, n, cap)
+            fn = _sharded_color_stitched_fn(
+                mesh, ph, pw, config, cap, rt=specs is not None
+            )
+            out = fn(img_global, *tabs) if specs is not None else fn(img_global)
+            streams_s, seg_tot, chunk_tot, overflow = out
+            words, seg_np = fetch_stitched_shards(
+                streams_s, seg_tot, chunk_tot, overflow,
+                spec_key=(ph, pw, config, n, "color-sharded",
+                          specs is not None),
+            )
+            if words is not None:
+                scan = b"".join(
+                    _pipeline.scan_from_stitched(
+                        words[i], seg_np[i], spc,
+                        rst_phase=(i * k) & 7, trailing=i < n - 1,
+                    )
+                    for i in range(n)
+                )
+                return jfif.assemble(w, h, restart_cfg, [scan],
+                                     huffman_specs=specs)
+            continue
         if specs is not None:
             fn = _sharded_color_fn(mesh, ph, pw, config, cap, rt=True)
             streams, totals, overflow = fn(img_global, *tabs)
@@ -1118,23 +1316,17 @@ def encode_color_sharded(
 
     totals_np = _jax.device_get(totals)
     segments = gather_segments_multihost(streams, totals_np)
-    mcu_w = mcu_dims(config.subsampling)[1]
-    restart_cfg = EncodeConfig(
-        quality=config.quality,
-        subsampling=config.subsampling,
-        restart_interval=restart_subsegments(ph // n // mcu_rows, pw // mcu_w),
-        pad_ones=config.pad_ones,
-        bitexact=config.bitexact,
-    )
     return jfif.assemble(w, h, restart_cfg, segments, huffman_specs=specs)
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_color_stats_fn(mesh, ph: int, pw: int, cfg: EncodeConfig):
+def _sharded_color_stats_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
+                            raw: bool = False):
     """Pass 1 of SHARDED color 2-pass optimal coding: per-shard symbol
-    histograms of the interleaved scan (same XLA levels + per-component
+    histograms of the interleaved scan (same levels + per-component
     segment-reset DC chains the sharded encode packs), psum'd so every
-    host builds the same tables."""
+    host builds the same tables. raw=True histograms the raw Pallas
+    levels (mandatory with the stitched pass 2)."""
     from jax.sharding import PartitionSpec as P
 
     from .parallel.sharding import restart_subsegments
@@ -1150,10 +1342,17 @@ def _sharded_color_stats_fn(mesh, ph: int, pw: int, cfg: EncodeConfig):
     seg_slots = restart_subsegments(ph_local // mh, pw // mw) * spm
 
     def local_stats(img_local):
-        zz = _color_levels(
-            img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
-            jnp.asarray(qtc_np),
-        ).astype(jnp.int32)
+        if raw:
+            zy, zcb, zcr = _component_levels_raw(img_local, cfg)
+            allz = jnp.concatenate(
+                [zy, zcb, zcr], axis=0
+            ).astype(jnp.int32)
+            zz = allz[jnp.asarray(_gidx)]
+        else:
+            zz = _color_levels(
+                img_local, cfg, jnp.asarray(basis_np), jnp.asarray(qtl_np),
+                jnp.asarray(qtc_np),
+            ).astype(jnp.int32)
         dcd = _per_component_dc_diff(zz[:, 0], comp_id, seg_slots)
         st = entropy_device.symbol_histograms(
             zz, table_sel=jnp.asarray(table_sel), dc_diff=dcd
@@ -1165,6 +1364,84 @@ def _sharded_color_stats_fn(mesh, ph: int, pw: int, cfg: EncodeConfig):
         out_specs=P(), check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def sharded_color_stitch_plan(ph: int, pw: int, cfg: EncodeConfig,
+                              n: int, cap: int):
+    """(k restart segments per shard, segs_per_chunk) for the stitched
+    sharded color path; segs_per_chunk == 0 -> infeasible."""
+    from .parallel.sharding import restart_subsegments
+
+    mh, mw = mcu_dims(cfg.subsampling)
+    ph_local = ph // n
+    nmcu_local = (ph_local // mh) * (pw // mw)
+    seg_mcus = restart_subsegments(ph_local // mh, pw // mw)
+    k = nmcu_local // seg_mcus
+    if k == 1:
+        return 1, 1
+    return k, color_stitch_geometry(ph_local, pw, cfg, seg_mcus, cap)[1]
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_color_stitched_fn(mesh, ph: int, pw: int, cfg: EncodeConfig,
+                               cap_words_per_block: int, rt: bool = False):
+    """Stitched sharded color encode: every shard runs the flagship
+    all-Pallas raw color chain (fused convert+transform, fused pack,
+    natural-layout MCU merge) and emits ONE byte-aligned stream buffer —
+    the color twin of sharding._sharded_encode_stitched_fn."""
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.sharding import restart_subsegments
+
+    n = mesh.devices.size
+    mh, mw = mcu_dims(cfg.subsampling)
+    ph_local = ph // n
+    seg_mcus = restart_subsegments(ph_local // mh, pw // mw)
+    k = (ph_local // mh) * (pw // mw) // seg_mcus
+    spc = (
+        1 if k == 1
+        else color_stitch_geometry(ph_local, pw, cfg, seg_mcus,
+                                   cap_words_per_block)[1]
+    )
+    assert spc > 0, "caller must gate on sharded_color_stitch_plan"
+
+    def local_encode(img_local, *tabs):
+        ct = (tabs[0], tabs[1]) if rt else None
+        if k == 1:
+            words, total, overflow = _color_encode_body_raw(
+                img_local, cfg, cap_words_per_block, False,
+                custom_tables=ct,
+            )
+            chunks = words[None]
+            seg_tot = total[None].astype(jnp.int32)
+            chunk_tot = seg_tot
+        else:
+            chunks, seg_tot, chunk_tot, overflow = _color_restart_body_raw(
+                img_local, cfg, cap_words_per_block, seg_mcus, spc,
+                custom_tables=ct,
+            )
+        all_seg = jax.lax.all_gather(seg_tot, "shard")
+        all_chunk = jax.lax.all_gather(chunk_tot, "shard")
+        return chunks[None], all_seg, all_chunk, overflow[None]
+
+    in_specs = (
+        (P(None, "shard", None), P(), P()) if rt
+        else (P(None, "shard", None),)
+    )
+    sharded = jax.shard_map(
+        local_encode,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P("shard", None, None), P(None, None),
+                   P(None, None), P("shard")),
+        check_vma=False,
+    )
+
+    def fn(img, *tabs):
+        streams, seg_tot, chunk_tot, overflow = sharded(img, *tabs)
+        return streams, seg_tot, chunk_tot, jnp.any(overflow)
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=32)
