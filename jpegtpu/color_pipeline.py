@@ -1187,6 +1187,7 @@ def encode_color_sharded(
     image: np.ndarray,
     config: EncodeConfig | None = None,
     mesh=None,
+    orig_shape: tuple[int, int] | None = None,
 ) -> bytes:
     """Multi-chip color encode: MCU-row shards, shard == restart segment.
 
@@ -1195,7 +1196,11 @@ def encode_color_sharded(
     (16 pixel rows per MCU row for 4:2:0, 8 for 4:4:4), runs its own
     per-component DC chains (reset at the restart boundary), and packs an
     independent byte-aligned segment; the host stitches
-    seg_0 || RST_0 || seg_1 || ... with DRI = MCUs per shard."""
+    seg_0 || RST_0 || seg_1 || ... with DRI = MCUs per shard.
+
+    orig_shape: the pre-padding (height, width) for the JFIF header when
+    `image` was already padded by the caller (pre-placed device inputs);
+    without it the header would carry the padded dims."""
     import jax as _jax
 
     from .parallel.sharding import make_mesh
@@ -1205,13 +1210,16 @@ def encode_color_sharded(
     n = mesh.devices.size
     if image.ndim == 2:
         image = np.repeat(image[..., None], 3, axis=-1)
-    h, w = image.shape[:2]
+    h, w = orig_shape if orig_shape is not None else image.shape[:2]
     mcu_rows = mcu_dims(config.subsampling)[0]
     band = mcu_rows * n
+    ih, iw = image.shape[:2]
     ph = -(-h // band) * band
     pw = padded_dims_color(h, w, config.subsampling)[1]
-    if (ph, pw) != (h, w):
-        image = np.pad(image, [(0, ph - h), (0, pw - w), (0, 0)], mode="edge")
+    if (ph, pw) != (ih, iw):
+        image = np.pad(
+            image, [(0, ph - ih), (0, pw - iw), (0, 0)], mode="edge"
+        )
 
     from . import pipeline as _pipeline
     from .parallel.sharding import (

@@ -438,6 +438,7 @@ def encode_grayscale_sharded(
     image: np.ndarray,
     config: EncodeConfig | None = None,
     mesh: Mesh | None = None,
+    orig_shape: tuple[int, int] | None = None,
 ) -> bytes:
     """Multi-chip grayscale encode: returns a standard JFIF stream whose
     scan is n_shards * k restart segments (k > 1 only when a shard holds
@@ -445,14 +446,20 @@ def encode_grayscale_sharded(
     to a single-chip encode of the same pixels at the same restart
     interval (verified by tests/test_sharding.py). Works on multi-host
     meshes: every host calls this with the full image; every host returns
-    the complete stream (coordinator writes the file)."""
+    the complete stream (coordinator writes the file).
+
+    orig_shape: the pre-padding (height, width) to write into the JFIF
+    header when `image` was already padded by the caller (e.g. a
+    pre-placed device input) — without it the header would carry the
+    padded dims and the stream would decode to the padded size."""
     config = config or EncodeConfig()
     mesh = mesh or make_mesh()
     n = mesh.devices.size
-    h, w = image.shape[:2]
+    h, w = orig_shape if orig_shape is not None else image.shape[:2]
+    ih, iw = image.shape[:2]
     ph, pw = shard_padded_dims(h, w, n)
-    if (ph, pw) != (h, w):
-        pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (image.ndim - 2)
+    if (ph, pw) != (ih, iw):
+        pad = [(0, ph - ih), (0, pw - iw)] + [(0, 0)] * (image.ndim - 2)
         image = np.pad(image, pad, mode="edge")
     is_rgb = image.ndim == 3
     spec = P("shard", None, None) if is_rgb else P("shard", None)
