@@ -23,6 +23,7 @@ because element counts shrink geometrically.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 BLOCKS_PER_STEP = SUBLANES * LANES  # 1024
+
+# Huffman table lookup strategy inside the fused pack kernel:
+# "cascade" (default) = per-run-row serial select chains, "tree" =
+# balanced log-depth mux over run*11+size. Measured on silicon (12.19
+# MPix Q50, isolated pack-kernel chain-delta, 3 alternating runs):
+# cascade 0.97 ms vs tree 1.21 ms median — the tree's level-0 pairing
+# materializes 88 scalar-pair selects up front while the cascade's 16
+# row chains are independent and schedule tighter. Third negative
+# result for this lookup (dynamic gather lost too, commit 6825f7c);
+# the cascade stands as best known. Switch kept for re-measurement.
+_HUFF_LOOKUP = os.environ.get("JPEGTPU_HUFF_LOOKUP", "cascade")
 
 
 def _pack_kernel(w_ref, l_ref, out_ref, bits_ref, *, cap: int, n_elem: int):
@@ -98,6 +110,31 @@ def _select_cascade(idx, consts):
     for k in range(1, len(consts)):
         out = jnp.where(idx == k, consts[k], out)
     return out
+
+
+def _select_tree(idx, consts):
+    """out[lane] = consts[idx[lane]] as a balanced binary mux over the
+    bits of idx: pair adjacent entries under bit 0, the survivors under
+    bit 1, and so on. Same ~n select count as _select_cascade, but the
+    dependency DEPTH is log2(n) instead of n — the cascade is a serial
+    select chain the VPU cannot pipeline, the tree is n/2 independent
+    selects per level. Requires 0 <= idx < len(consts); entries may be
+    python ints or loop-invariant SMEM scalars. An odd tail at any level
+    is always an even-index (bit-aligned) chunk, so carrying it up one
+    level preserves the radix indexing."""
+    vals = list(consts)
+    b = 0
+    while len(vals) > 1:
+        bit = ((idx >> b) & 1) == 1
+        vals = [
+            jnp.where(bit, vals[i + 1], vals[i])
+            for i in range(0, len(vals) - 1, 2)
+        ] + ([vals[-1]] if len(vals) % 2 else [])
+        b += 1
+    out = vals[0]
+    if not (hasattr(out, "shape") and out.shape == idx.shape):
+        out = jnp.zeros_like(idx, dtype=jnp.int32) + out
+    return out.astype(jnp.int32)
 
 
 def pack_runtime_tables(dc_codes, dc_lens, ac_codes, ac_lens) -> "np.ndarray":
@@ -200,7 +237,13 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         return acc, cnt, widx, frame
 
     def code_for(run, size, packed):
-        """(run, size) -> packed (code << 6 | len) via the select cascade."""
+        """(run, size) -> packed (code << 6 | len) via the select
+        cascade (best known — see _HUFF_LOOKUP for the measured
+        alternatives: mux tree −25%, dynamic gather also lost)."""
+        if _HUFF_LOOKUP == "tree":
+            flat = [packed[r][s] for r in range(len(packed))
+                    for s in range(11)]
+            return _select_tree(run * 11 + size, flat)
         out = jnp.zeros(shp, jnp.int32)
         for r in range(len(packed)):
             row = _select_cascade(size, list(packed[r]))
@@ -214,7 +257,9 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
     damp = jnp.where(dcd > 0, dcd, dcd - 1).astype(jnp.uint32) & (
         (jnp.uint32(1) << dsize.astype(jnp.uint32)) - 1
     )
-    dpk = _select_cascade(dsize, dc_pack)
+    dpk = (_select_tree if _HUFF_LOOKUP == "tree" else _select_cascade)(
+        dsize, list(dc_pack)
+    )
     dcode = (dpk >> 6).astype(jnp.uint32)
     dlen = dpk & 63
     state = (
@@ -287,7 +332,7 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
     # trailing zeros only grow each lane's run, folded into EOB below).
     # Q50 photographic luma typically quantizes the zigzag tail to zero
     # across whole tiles (chroma almost always), so this removes most of
-    # the ~420-op loop bodies. Prologue cost: 64 VMEM reads + 2 vector
+    # the ~420-op loop bodies. Prologue cost: 63 VMEM reads + 2 vector
     # ops each + one max-reduce.
     kmax_vec = jnp.zeros(shp, jnp.int32)
     for k in range(1, 64):
