@@ -579,9 +579,15 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
         img, cfg, cap, custom_tables=custom_tables
     )
     mcap = merged.shape[1]
+    rpc = pallas_concat.chunk_plan(mcap, ncg)
     if pallas_concat.fits_vmem(nmch, nmcw, mcap, ncg):
         words, total_bits = pallas_concat.concat_raw_pallas(
             merged, mbits, nmch, nmcw, ncg, interpret=interp
+        )
+    elif rpc >= 1:
+        # 8K+ frames: chunked streaming concat (see pipeline gray twin)
+        words, total_bits = pallas_concat.concat_raw_chunked(
+            merged, mbits, nmch, nmcw, ncg, rpc, interpret=interp
         )
     else:
         w_t = pt.raw_to_scan(merged, nmch, nmcw, ncg)

@@ -724,6 +724,168 @@ def stitch_from_blocks(w_t, bits, seg_slots: int, pad_ones: bool = True,
     )
 
 
+def _stream_chunked_kernel(offs_ref, seg_ref, offv_ref, out_ref, *,
+                           sr: int, ncg: int, rg_per_chunk: int,
+                           out_rows: int):
+    """Chunked twin of _stream_kernel for single streams past the VMEM
+    budget: the output block is one CHUNK (index_map rg // rg_per_chunk
+    — Pallas writes a chunk back to HBM when the block index advances),
+    and every row-segment ORs in at its offset row RELATIVE to the
+    chunk's base row (the row floor of the chunk's first segment's
+    absolute offset, read from the same prefetched scalar array). The
+    bit residue and word-in-row position are invariant under the
+    row re-basing, so the funnel/roll math is identical. Chunks overlap
+    only in their boundary word; caller OR-combines them (bit-disjoint
+    by construction)."""
+    rg = pl.program_id(0)
+
+    @pl.when(rg % rg_per_chunk == 0)
+    def _init():
+        out_ref[...] = jnp.zeros((out_rows, LANES), jnp.uint32)
+
+    base_row = offs_ref[(rg - rg % rg_per_chunk) * SUBLANES * ncg] >> 12
+    w = sr + 2
+    zeros2 = jnp.zeros((ncg, 2, LANES), jnp.uint32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+    for s in range(SUBLANES):
+        x = seg_ref[:, s]  # [ncg, SR, 128]
+        off_v = offv_ref[s]  # [ncg, 1, 1] i32
+        frame = jnp.concatenate([x, zeros2], axis=1)  # [ncg, W, 128]
+        r = jnp.bitwise_and(off_v, 31).astype(jnp.uint32)
+        t32 = jnp.clip(32 - (off_v & 31), 0, 31).astype(jnp.uint32)
+        a1 = pltpu.roll(frame, 1, axis=2)
+        a2 = pltpu.roll(a1, 1, axis=1)
+        prevw = jnp.where(lane_i == 0, a2, a1)
+        frame = jnp.where(
+            off_v & 31 == 0, frame, (frame >> r) | (prevw << t32)
+        )
+        k = (off_v >> 5) & 127
+        for t in range(7):
+            frame = jnp.where(
+                (k >> t) & 1 == 1, _flat_roll(frame, 1 << t), frame
+            )
+        for c in range(ncg):
+            o = offs_ref[(rg * SUBLANES + s) * ncg + c]
+            row = (o >> 12) - base_row
+            cur = out_ref[pl.ds(row, w), :]
+            out_ref[pl.ds(row, w), :] = cur | frame[c]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ncg", "rg_per_chunk", "out_rows", "interpret"),
+)
+def stream_concat_chunked(segs, offs, ncg: int, rg_per_chunk: int,
+                          out_rows: int, interpret: bool = False):
+    """segs [G, 8, SR, 128] u32 with G = nrg * ncg and nrg a multiple of
+    rg_per_chunk (caller pads), offs [S] i32 absolute scan-order bit
+    offsets (pad rows carry the stream total). Returns chunk streams
+    [n_chunks, out_rows * 128] u32, chunk k based at word
+    (offs[k * rg_per_chunk * 8 * ncg] >> 12) * 128."""
+    g, _, sr = segs.shape[:3]
+    nrg = g // ncg
+    n_chunks = nrg // rg_per_chunk
+    segs5 = segs.reshape(nrg, ncg, SUBLANES, sr, LANES)
+    offv = offs.reshape(nrg, SUBLANES, ncg, 1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrg,),
+        in_specs=[
+            pl.BlockSpec((None, ncg, SUBLANES, sr, LANES),
+                         lambda i, offs_ref: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, ncg, 1, 1),
+                         lambda i, offs_ref: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, out_rows, LANES),
+            lambda i, offs_ref: (i // rg_per_chunk, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_stream_chunked_kernel, sr=sr, ncg=ncg,
+                          rg_per_chunk=rg_per_chunk, out_rows=out_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, out_rows, LANES), jnp.uint32
+        ),
+        interpret=interpret,
+    )(offs.astype(jnp.int32), segs5, offv.astype(jnp.int32))
+    return out.reshape(n_chunks, out_rows * LANES)
+
+
+def chunk_plan(cap: int, ncg: int, budget: int = 14 << 20) -> int:
+    """rg_per_chunk for the chunked single-stream concat — the largest
+    number of grid steps whose WORST-CASE output (every block at full
+    cap words) still fits one VMEM-resident chunk block — or 0 when even
+    one step does not fit. Worst-case sizing is required because the
+    grid-position -> chunk map must be static; actual streams are far
+    smaller, so chunk buffers are sparse in HBM (zeros cost only
+    writeback bandwidth, ~0.1 ms for the 8K split)."""
+    sr = cap + 1
+    step_bytes = ncg * SUBLANES * sr * LANES * 4
+    avail = budget - 2 * step_bytes
+    rows_per_rg = SUBLANES * ncg * cap
+    rpc = (avail // (LANES * 4) - (sr + 4)) // rows_per_rg
+    return max(int(rpc), 0)
+
+
+def concat_raw_chunked(w_raw, b_raw, nbh: int, nbw: int, ncg: int,
+                       rg_per_chunk: int, interpret: bool = False):
+    """Single contiguous stream for scans past the fits_vmem budget: the
+    same two Pallas passes as concat_raw_pallas, but the streaming OR
+    writes VMEM-resident CHUNK blocks (stream_concat_chunked) that an
+    XLA epilogue OR-combines at their base words into one buffer — the
+    concat stays all-Pallas instead of falling off to the XLA merge tree
+    (measured ~3x the per-MPix cost at 33 MPix). Same contract as
+    concat_raw_pallas: (words [N] u32, total_bits i32)."""
+    from ..ops.scan import cumsum_1d
+
+    g, cap = w_raw.shape[:2]
+    sr = cap + 1
+    m = valid_mask(nbh, nbw, ncg, g)
+    b_m = jnp.where(m, b_raw, 0)
+    w_m = jnp.where(m[:, None], w_raw, 0)
+    segs = merge_sublanes_pallas(w_m, b_m, interpret=interpret)
+    segbits = jnp.sum(b_m, axis=-1)  # [G, 8]
+    nrg = g // ncg
+    sb = segbits.reshape(nrg, ncg, SUBLANES).transpose(0, 2, 1).reshape(-1)
+    inc = cumsum_1d(sb)
+    offs = inc - sb  # exclusive, scan order (rg, s, cg)
+    total = inc[-1]
+    nrg2 = -(-nrg // rg_per_chunk) * rg_per_chunk
+    if nrg2 != nrg:
+        segs = jnp.pad(
+            segs, ((0, (nrg2 - nrg) * ncg), (0, 0), (0, 0), (0, 0))
+        )
+        offs = jnp.concatenate([
+            offs,
+            jnp.broadcast_to(total, ((nrg2 - nrg) * SUBLANES * ncg,)),
+        ])
+    n_chunks = nrg2 // rg_per_chunk
+    out_rows_chunk = rg_per_chunk * SUBLANES * ncg * cap + sr + 4
+    chunks = stream_concat_chunked(
+        segs, offs, ncg=ncg, rg_per_chunk=rg_per_chunk,
+        out_rows=out_rows_chunk, interpret=interpret,
+    )
+    starts = offs[
+        jnp.arange(n_chunks, dtype=jnp.int32)
+        * (rg_per_chunk * SUBLANES * ncg)
+    ]
+    base_words = (starts >> 12) * LANES
+    out_rows_full = -(-(nbh * nbw * cap) // LANES) + sr + 3
+    cw = out_rows_chunk * LANES
+    buf = jnp.zeros((out_rows_full * LANES + cw,), jnp.uint32)
+    for k in range(n_chunks):
+        cur = jax.lax.dynamic_slice(buf, (base_words[k],), (cw,))
+        buf = jax.lax.dynamic_update_slice(
+            buf, cur | chunks[k], (base_words[k],)
+        )
+    return buf[: out_rows_full * LANES], total.astype(jnp.int32)
+
+
 def fits_vmem(nbh: int, nbw: int, cap: int, ncg: int,
               budget: int = 14 << 20) -> bool:
     """Whether the VMEM-resident output buffer of stream_concat_pallas

@@ -162,11 +162,20 @@ def _gray_encode_body_raw(img, cfg: EncodeConfig, is_rgb: bool,
         raw, dcd_raw, cap=cap, table=0, custom_tables=custom_tables,
         interpret=interp, raw=True
     )
+    rpc = pallas_concat.chunk_plan(cap, ncg)
     if pallas_concat.fits_vmem(nbh, nbw, cap, ncg):
         m = pallas_concat.valid_mask(nbh, nbw, ncg, w_raw.shape[0])
         overflow = jnp.any(jnp.where(m, b_raw, 0) > cap * 32)
         words, total_bits = pallas_concat.concat_raw_pallas(
             w_raw, b_raw, nbh, nbw, ncg, interpret=interp
+        )
+    elif rpc >= 1:
+        # past the VMEM-resident budget (8K+ frames): chunked streaming
+        # concat + device OR-combine, same contract, still all-Pallas
+        m = pallas_concat.valid_mask(nbh, nbw, ncg, w_raw.shape[0])
+        overflow = jnp.any(jnp.where(m, b_raw, 0) > cap * 32)
+        words, total_bits = pallas_concat.concat_raw_chunked(
+            w_raw, b_raw, nbh, nbw, ncg, rpc, interpret=interp
         )
     else:
         w_t = pt.raw_to_scan(w_raw, nbh, nbw, ncg)
