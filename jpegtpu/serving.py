@@ -13,6 +13,10 @@ Measured caveat: over a REMOTE/tunneled device transport (this repo's
 dev environment) dispatches serialize on the tunnel and depth-2 was
 measured SLOWER than sequential (BENCH_NOTES.md "negative results") —
 so pipelining is opt-in (`depth>=2`), not the default encode path.
+With the per-roundtrip transport excluded the overlap is worth 25x:
+bench.py's corpus_seq_device 24.4 vs corpus_stream_device 606.2 MPix/s
+(pre-placed inputs, each sequential encode blocking on its scalar
+readback = the ~25 ms dispatch floor the overlap hides).
 
 Correctness: output order is input order (FIFO); each stream is
 byte-identical to the corresponding single-image `encode_grayscale` /
