@@ -90,6 +90,34 @@ def test_restart_device_bytes_equal_host_coder():
         assert dev == host, interval
 
 
+def test_restart_stitched_overflow_ladder():
+    """Q100 noise overflows the heuristic capacity rung; the stitched
+    restart path must climb the ladder (retrying the stitch at the next
+    rung or degrading to per-segment buffers past 16 words) and still
+    emit the host coder's exact bytes."""
+    from jpegtpu import pipeline
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    # quality 80: overflows rung 8, fits the stitched rung 16 retry;
+    # quality 100: overflows 16 too -> per-segment degrade at rung 53
+    for quality, want_rung in ((80, 16), (100, 53)):
+        cfg = EncodeConfig(
+            quality=quality, restart_interval=8, entropy="device"
+        )
+        key = (64, 64, cfg, False, "restart")
+        pipeline._cap_history.pop(key, None)  # heuristic first rung
+        dev = encode_grayscale(img, cfg)
+        host = encode_grayscale(
+            img,
+            EncodeConfig(
+                quality=quality, restart_interval=8, entropy="host"
+            ),
+        )
+        assert dev == host, quality
+        assert pipeline._cap_history.get(key, [0])[0] == want_rung
+
+
 def test_restart_device_color_bytes_equal_host_coder():
     """Color device restart path: byte parity with the host coder across
     subsampling modes and ragged segment tails."""
