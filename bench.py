@@ -515,8 +515,6 @@ def main():
     # reported so a budget regression is driver-visible (VERDICT r4
     # missing #2).
     if os.environ.get("BENCH_8K", "1") == "1":
-        from jpegtpu.entropy import pallas_concat as _pcc
-
         h8, w8 = 4320, 7680
         mpix8 = h8 * w8 / 1e6
         reps8 = max(3, reps // 2)
@@ -530,28 +528,24 @@ def main():
 
         def gray8_finish():
             out, count, ov = g8fn(img8_dev)
-            words, tb = pipeline.fetch_stream_words(
-                out, count, ov, spec_key=(ph8, pw8, "bench8k")
-            )
-            assert words is not None
-            seg = native.words_to_stuffed(words, tb)
+            if host_stuff:
+                words, tb = pipeline.fetch_stream_words(
+                    out, count, ov, spec_key=(ph8, pw8, "bench8k")
+                )
+                assert words is not None
+                seg = native.words_to_stuffed(words, tb)
+            else:
+                assert not bool(ov)
+                seg = pipeline.fetch_prefix(out, count).tobytes()
             return jfif.assemble(w8, h8, cfg, [seg])
 
         d8 = gray8_finish()
         assert d8[:2] == b"\xff\xd8"
         t8, _ = _timeit(gray8_finish, reps8, best=True)
         results["gray_8k_e2e_mpix_s"] = round(mpix8 / t8, 2)
-        if _pcc.fits_vmem(
-            ph8 // 8, pw8 // 8, cfg.capacity_words_per_block,
-            -(-pw8 // 1024)
-        ):
-            results["gray_8k_concat"] = "pallas-resident"
-        elif _pcc.chunk_plan(
-            cfg.capacity_words_per_block, -(-pw8 // 1024)
-        ) >= 1:
-            results["gray_8k_concat"] = "pallas-chunked"
-        else:
-            results["gray_8k_concat"] = "treepack-fallback"
+        results["gray_8k_concat"] = pipeline.gray_concat_mode(
+            ph8, pw8, cfg.capacity_words_per_block
+        )
 
         # 8K restart encode: the chunked stitch keeps the all-Pallas
         # concat at a size where the single-stream buffer cannot be
@@ -597,11 +591,15 @@ def main():
 
         def color8_finish():
             out, count, ov = c8fn(cimg8_dev)
-            words, tb = pipeline.fetch_stream_words(
-                out, count, ov, spec_key=(cph8, cpw8, "bench8k-color")
-            )
-            assert words is not None
-            seg = native.words_to_stuffed(words, tb)
+            if host_stuff:
+                words, tb = pipeline.fetch_stream_words(
+                    out, count, ov, spec_key=(cph8, cpw8, "bench8k-color")
+                )
+                assert words is not None
+                seg = native.words_to_stuffed(words, tb)
+            else:
+                assert not bool(ov)
+                seg = pipeline.fetch_prefix(out, count).tobytes()
             return jfif.assemble(w8, h8, ccfg, [seg])
 
         cd8 = color8_finish()

@@ -579,15 +579,16 @@ def _color_encode_body_raw(img, cfg: EncodeConfig, cap: int, stuff: bool,
         img, cfg, cap, custom_tables=custom_tables
     )
     mcap = merged.shape[1]
-    rpc = pallas_concat.chunk_plan(mcap, ncg)
-    if pallas_concat.fits_vmem(nmch, nmcw, mcap, ncg):
+    mode = pallas_concat.concat_mode(nmch, nmcw, mcap, ncg)
+    if mode == "pallas-resident":
         words, total_bits = pallas_concat.concat_raw_pallas(
             merged, mbits, nmch, nmcw, ncg, interpret=interp
         )
-    elif rpc >= 1:
+    elif mode == "pallas-chunked":
         # 8K+ frames: chunked streaming concat (see pipeline gray twin)
         words, total_bits = pallas_concat.concat_raw_chunked(
-            merged, mbits, nmch, nmcw, ncg, rpc, interpret=interp
+            merged, mbits, nmch, nmcw, ncg,
+            pallas_concat.chunk_plan(mcap, ncg), interpret=interp,
         )
     else:
         w_t = pt.raw_to_scan(merged, nmch, nmcw, ncg)

@@ -698,32 +698,6 @@ def stitch_segments_pallas(w_t, bits, seg_slots: int, segs_per_chunk: int,
     return chunks, seg_tot[:s].astype(jnp.int32), chunk_totals
 
 
-def stitch_from_blocks(w_t, bits, seg_slots: int, pad_ones: bool = True,
-                       interpret: bool = False):
-    """Convenience wrapper: pads seg_slots up to a 128 multiple (merge
-    rows must not straddle segment boundaries) and plans the chunking.
-    Returns None when the stitch is infeasible for this geometry (caller
-    falls back to per-segment buffers); else
-    (chunks, seg_totals, chunk_totals) per stitch_segments_pallas."""
-    c, n = w_t.shape
-    s = n // seg_slots
-    seg128 = -(-seg_slots // LANES) * LANES
-    spc = stitch_plan(s, seg128, c)
-    if spc == 0:
-        return None
-    if seg128 != seg_slots:
-        w_t = jnp.pad(
-            w_t.reshape(c, s, seg_slots),
-            ((0, 0), (0, 0), (0, seg128 - seg_slots)),
-        ).reshape(c, s * seg128)
-        bits = jnp.pad(
-            bits.reshape(s, seg_slots), ((0, 0), (0, seg128 - seg_slots))
-        ).reshape(-1)
-    return stitch_segments_pallas(
-        w_t, bits, seg128, spc, pad_ones=pad_ones, interpret=interpret
-    )
-
-
 def _stream_chunked_kernel(offs_ref, seg_ref, offv_ref, out_ref, *,
                            sr: int, ncg: int, rg_per_chunk: int,
                            out_rows: int):
@@ -884,6 +858,20 @@ def concat_raw_chunked(w_raw, b_raw, nbh: int, nbw: int, ncg: int,
             buf, cur | chunks[k], (base_words[k],)
         )
     return buf[: out_rows_full * LANES], total.astype(jnp.int32)
+
+
+def concat_mode(nbh: int, nbw: int, cap: int, ncg: int) -> str:
+    """Which across-block concat serves this geometry — the ONE place
+    the decision lives (the raw bodies branch on it, and bench.py
+    reports it so a budget regression is driver-visible):
+    "pallas-resident" (stream_concat_pallas, one VMEM output block),
+    "pallas-chunked" (concat_raw_chunked, VMEM chunk blocks + device
+    OR-combine), or "treepack-fallback" (XLA merge tree)."""
+    if fits_vmem(nbh, nbw, cap, ncg):
+        return "pallas-resident"
+    if chunk_plan(cap, ncg) >= 1:
+        return "pallas-chunked"
+    return "treepack-fallback"
 
 
 def fits_vmem(nbh: int, nbw: int, cap: int, ncg: int,

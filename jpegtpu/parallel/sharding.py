@@ -236,49 +236,16 @@ def fetch_stitched_shards(streams, seg_tot_dev, chunk_tot_dev,
     pipeline.fetch_stitched. streams [n, n_chunks, W]. Returns
     (words[shard][chunk] arrays, seg_totals [n, k] np) or (None, None)."""
     n, n_chunks, wpc = streams.shape
-    hist = (
-        pipeline._spec_history.get(spec_key)
-        if spec_key is not None else None
+    flat, totals = pipeline.fetch_chunk_prefixes(
+        [streams[i, j] for i in range(n) for j in range(n_chunks)],
+        overflow_dev, (chunk_tot_dev, seg_tot_dev), spec_key,
     )
-    if isinstance(hist, list) and len(hist) == n * n_chunks:
-        spec_words = [
-            pipeline._spec_bucket(hh + hh // 4) for hh in hist
-        ]
-    else:
-        spec_words = [pipeline._SPEC_BYTES // 4] * (n * n_chunks)
-    spec_words = [min(sw, wpc) for sw in spec_words]
-    fetched = jax.device_get(
-        (overflow_dev, seg_tot_dev, chunk_tot_dev,
-         *[streams[i, j, : spec_words[i * n_chunks + j]]
-           for i in range(n) for j in range(n_chunks)])
-    )
-    overflow, seg_tot, chunk_tot = fetched[:3]
-    heads = fetched[3:]
-    if bool(overflow):
+    if flat is None:
         return None, None
-    nws = [
-        (int(chunk_tot[i, j]) + 31) // 32
-        for i in range(n) for j in range(n_chunks)
+    words = [
+        flat[i * n_chunks : (i + 1) * n_chunks] for i in range(n)
     ]
-    if spec_key is not None:
-        pipeline._spec_history.pop(spec_key, None)
-        pipeline._spec_history[spec_key] = nws
-        while len(pipeline._spec_history) > pipeline._SPEC_HISTORY_MAX:
-            pipeline._spec_history.pop(next(iter(pipeline._spec_history)))
-    words = []
-    for i in range(n):
-        per_shard = []
-        for j in range(n_chunks):
-            f = i * n_chunks + j
-            if nws[f] <= spec_words[f]:
-                per_shard.append(heads[f][: nws[f]])
-            else:
-                rest = pipeline.fetch_prefix_words(
-                    streams[i, j, spec_words[f] :], nws[f] - spec_words[f]
-                )
-                per_shard.append(np.concatenate([heads[f], rest]))
-        words.append(per_shard)
-    return words, np.asarray(seg_tot)
+    return words, np.asarray(totals[1])
 
 
 @functools.lru_cache(maxsize=16)

@@ -127,16 +127,15 @@ def gray_encode_body(img, cfg: EncodeConfig, is_rgb: bool,
     )
 
 
-def _gray_encode_body_raw(img, cfg: EncodeConfig, is_rgb: bool,
-                          cap: int, stuff: bool, custom_tables=None):
-    """All-Pallas grayscale body: the fused transform kernel emits
-    quantized zigzag levels directly in the entropy kernel's tiling
-    (ops.pallas_transform), the fused symbolize+pack kernel consumes them
-    pre-tiled, and the only relayouts in the whole chain are major-axis
-    moves of the small per-block outputs (words/bits/DC) — the ~2.5 ms
-    blockify+zigzag+re-tiling relayout chain of the XLA path (measured,
-    tools/levels_micro.py) disappears."""
-    from .entropy import pallas_concat, pallas_pack, treepack
+def _gray_raw_front(img, cfg: EncodeConfig, is_rgb: bool, cap: int,
+                    seg_blocks: int, custom_tables=None):
+    """Shared front half of the all-Pallas gray chain: fused transform ->
+    scan-order DC differences (predictor chain reset every seg_blocks
+    blocks; 0 = one unbroken chain) -> fused symbolize/pack, all in the
+    grid-natural tiling. Both the flagship single-stream body and the
+    stitched restart body build on this; keep them from diverging here.
+    Returns (w_raw, b_raw, nbh, nbw, ncg, interp)."""
+    from .entropy import pallas_pack
     from .ops import color as color_ops, pallas_transform as pt
 
     y = color_ops.rgb_to_y_reference(img) if is_rgb else img
@@ -156,26 +155,45 @@ def _gray_encode_body_raw(img, cfg: EncodeConfig, is_rgb: bool,
         int_mode=int_mode,
     )
     dc_scan = pt.raw_to_scan(raw[:, :1], nbh, nbw, ncg)[0]
-    dcd = entropy_device.dc_differences(dc_scan, 0)
+    dcd = entropy_device.dc_differences(dc_scan, seg_blocks)
     dcd_raw = pt.scan_to_raw(dcd, nbh, nbw, ncg)
     w_raw, b_raw, _ = pallas_pack.encode_blocks_pallas(
         raw, dcd_raw, cap=cap, table=0, custom_tables=custom_tables,
-        interpret=interp, raw=True
+        interpret=interp, raw=True,
     )
-    rpc = pallas_concat.chunk_plan(cap, ncg)
-    if pallas_concat.fits_vmem(nbh, nbw, cap, ncg):
+    return w_raw, b_raw, nbh, nbw, ncg, interp
+
+
+def _gray_encode_body_raw(img, cfg: EncodeConfig, is_rgb: bool,
+                          cap: int, stuff: bool, custom_tables=None):
+    """All-Pallas grayscale body: the fused transform kernel emits
+    quantized zigzag levels directly in the entropy kernel's tiling
+    (ops.pallas_transform), the fused symbolize+pack kernel consumes them
+    pre-tiled, and the only relayouts in the whole chain are major-axis
+    moves of the small per-block outputs (words/bits/DC) — the ~2.5 ms
+    blockify+zigzag+re-tiling relayout chain of the XLA path (measured,
+    tools/levels_micro.py) disappears."""
+    from .entropy import pallas_concat, treepack
+    from .ops import pallas_transform as pt
+
+    w_raw, b_raw, nbh, nbw, ncg, interp = _gray_raw_front(
+        img, cfg, is_rgb, cap, 0, custom_tables
+    )
+    mode = pallas_concat.concat_mode(nbh, nbw, cap, ncg)
+    if mode == "pallas-resident":
         m = pallas_concat.valid_mask(nbh, nbw, ncg, w_raw.shape[0])
         overflow = jnp.any(jnp.where(m, b_raw, 0) > cap * 32)
         words, total_bits = pallas_concat.concat_raw_pallas(
             w_raw, b_raw, nbh, nbw, ncg, interpret=interp
         )
-    elif rpc >= 1:
+    elif mode == "pallas-chunked":
         # past the VMEM-resident budget (8K+ frames): chunked streaming
         # concat + device OR-combine, same contract, still all-Pallas
         m = pallas_concat.valid_mask(nbh, nbw, ncg, w_raw.shape[0])
         overflow = jnp.any(jnp.where(m, b_raw, 0) > cap * 32)
         words, total_bits = pallas_concat.concat_raw_chunked(
-            w_raw, b_raw, nbh, nbw, ncg, rpc, interpret=interp
+            w_raw, b_raw, nbh, nbw, ncg,
+            pallas_concat.chunk_plan(cap, ncg), interpret=interp,
         )
     else:
         w_t = pt.raw_to_scan(w_raw, nbh, nbw, ncg)
@@ -261,6 +279,19 @@ def encode_grayscale(image: np.ndarray, config: EncodeConfig | None = None) -> b
     return jfif.assemble(w, h, config, segments)
 
 
+def gray_concat_mode(ph: int, pw: int, cap: int) -> str:
+    """The concat mode _gray_encode_body_raw will compile for this
+    geometry (pallas_concat.concat_mode with this body's derived ncg) —
+    bench.py reports it instead of re-deriving the decision."""
+    from .entropy import pallas_concat
+    from .ops import pallas_transform as pt
+
+    kh, kw = pt.padded_dims_kernel(ph, pw)
+    return pallas_concat.concat_mode(
+        ph // 8, pw // 8, cap, kw // pt.TILE_W
+    )
+
+
 def stitch_geometry(nb: int, seg_blocks: int, cap: int):
     """Static stitch plan for a segmented scan: (n_seg, segs_per_chunk);
     segs_per_chunk == 0 means the stitch is infeasible (fall back to
@@ -284,35 +315,15 @@ def _gray_restart_body_raw(img, cfg: EncodeConfig, is_rgb: bool, cap: int,
     [n_chunks] i32, overflow). The host finishes with one speculative
     prefix fetch + native.scan_from_words — no per-segment buffers, no
     full-capacity download (VERDICT r4 #1/#2)."""
-    from .entropy import pallas_concat, pallas_pack
-    from .ops import color as color_ops, pallas_transform as pt
+    from .entropy import pallas_concat
+    from .ops import pallas_transform as pt
 
-    y = color_ops.rgb_to_y_reference(img) if is_rgb else img
-    h, w = y.shape
-    nbh, nbw = h // 8, w // 8
+    w_raw, b_raw, nbh, nbw, ncg, interp = _gray_raw_front(
+        img, cfg, is_rgb, cap, seg_blocks, custom_tables
+    )
     nb = nbh * nbw
     n_seg = -(-nb // seg_blocks)
     n_total = n_seg * seg_blocks
-    kh, kw = pt.padded_dims_kernel(h, w)
-    if (kh, kw) != (h, w):
-        y = jnp.pad(y, ((0, kh - h), (0, kw - w)))
-    ncg = kw // pt.TILE_W
-    interp = jax.default_backend() == "cpu"
-    int_mode = cfg.dct_dtype == "int32"
-    qtable_np = cfg.luma_quant.astype(
-        np.int32 if int_mode else np.float32
-    )
-    raw = pt.transform_plane_raw(
-        y, jnp.asarray(qtable_np), cfg.bitexact, interpret=interp,
-        int_mode=int_mode,
-    )
-    dc_scan = pt.raw_to_scan(raw[:, :1], nbh, nbw, ncg)[0]
-    dcd = entropy_device.dc_differences(dc_scan, seg_blocks)
-    dcd_raw = pt.scan_to_raw(dcd, nbh, nbw, ncg)
-    w_raw, b_raw, _ = pallas_pack.encode_blocks_pallas(
-        raw, dcd_raw, cap=cap, table=0, custom_tables=custom_tables,
-        interpret=interp, raw=True,
-    )
     # Relayout to scan order: [cap, nb] words + [nb] bits — small per-
     # block outputs, never the 64-wide levels (the raw-chain rule).
     w_t = pt.raw_to_scan(w_raw, nbh, nbw, ncg)
@@ -353,6 +364,53 @@ def _encode_gray_restart_stitched(
     return fn
 
 
+def fetch_chunk_prefixes(bufs, overflow_dev, totals_devs, spec_key=None):
+    """Speculative one-roundtrip fetch of a flat list of device stream
+    buffers: (overflow, the totals arrays, every buffer's speculated
+    word prefix) in ONE device_get, with the per-buffer valid word
+    counts learned across calls via _spec_history. The FIRST totals
+    array must flatten to one bit total per buffer, in bufs order.
+    Returns (list of valid-prefix word arrays, tuple of totals np) or
+    (None, None) on capacity overflow. Shared engine of fetch_stitched
+    and parallel.sharding.fetch_stitched_shards."""
+    n = len(bufs)
+    hist = _spec_history.get(spec_key) if spec_key is not None else None
+    if isinstance(hist, list) and len(hist) == n:
+        spec_words = [_spec_bucket(hh + hh // 4) for hh in hist]
+    else:
+        spec_words = [_SPEC_BYTES // 4] * n
+    spec_words = [
+        min(sw, int(b.shape[0])) for sw, b in zip(spec_words, bufs)
+    ]
+    fetched = jax.device_get(
+        (overflow_dev, *totals_devs,
+         *[bufs[i][: spec_words[i]] for i in range(n)])
+    )
+    overflow = fetched[0]
+    totals_np = tuple(fetched[1 : 1 + len(totals_devs)])
+    heads = fetched[1 + len(totals_devs):]
+    if bool(overflow):
+        return None, None
+    nws = [
+        (int(t) + 31) // 32 for t in np.asarray(totals_np[0]).reshape(-1)
+    ]
+    if spec_key is not None:
+        _spec_history.pop(spec_key, None)
+        _spec_history[spec_key] = nws
+        while len(_spec_history) > _SPEC_HISTORY_MAX:
+            _spec_history.pop(next(iter(_spec_history)))
+    words = []
+    for i in range(n):
+        if nws[i] <= spec_words[i]:
+            words.append(heads[i][: nws[i]])
+        else:
+            rest = fetch_prefix_words(
+                bufs[i][spec_words[i] :], nws[i] - spec_words[i]
+            )
+            words.append(np.concatenate([heads[i], rest]))
+    return words, totals_np
+
+
 def fetch_stitched(chunks, seg_tot_dev, chunk_tot_dev, overflow_dev,
                    spec_key=None):
     """One-roundtrip speculative fetch for stitched multi-segment output:
@@ -360,37 +418,14 @@ def fetch_stitched(chunks, seg_tot_dev, chunk_tot_dev, overflow_dev,
     prefix) in ONE device_get — the multi-segment twin of
     fetch_stream_words. Returns (list of per-chunk word arrays,
     seg_totals np) or (None, None) on capacity overflow."""
-    n_chunks, wpc = chunks.shape
-    hist = _spec_history.get(spec_key) if spec_key is not None else None
-    if isinstance(hist, list) and len(hist) == n_chunks:
-        spec_words = [_spec_bucket(hh + hh // 4) for hh in hist]
-    else:
-        spec_words = [_SPEC_BYTES // 4] * n_chunks
-    spec_words = [min(sw, wpc) for sw in spec_words]
-    fetched = jax.device_get(
-        (overflow_dev, seg_tot_dev, chunk_tot_dev,
-         *[chunks[i, : spec_words[i]] for i in range(n_chunks)])
+    n_chunks = chunks.shape[0]
+    words, totals = fetch_chunk_prefixes(
+        [chunks[i] for i in range(n_chunks)], overflow_dev,
+        (chunk_tot_dev, seg_tot_dev), spec_key,
     )
-    overflow, seg_tot, chunk_tot = fetched[:3]
-    heads = fetched[3:]
-    if bool(overflow):
+    if words is None:
         return None, None
-    nws = [(int(t) + 31) // 32 for t in chunk_tot]
-    if spec_key is not None:
-        _spec_history.pop(spec_key, None)
-        _spec_history[spec_key] = nws
-        while len(_spec_history) > _SPEC_HISTORY_MAX:
-            _spec_history.pop(next(iter(_spec_history)))
-    words = []
-    for i in range(n_chunks):
-        if nws[i] <= spec_words[i]:
-            words.append(heads[i][: nws[i]])
-        else:
-            rest = fetch_prefix_words(
-                chunks[i, spec_words[i] :], nws[i] - spec_words[i]
-            )
-            words.append(np.concatenate([heads[i], rest]))
-    return words, np.asarray(seg_tot)
+    return words, np.asarray(totals[1])
 
 
 def scan_from_stitched(words_list, seg_totals: np.ndarray, spc: int,
@@ -512,7 +547,7 @@ def _encode_restart_segments_device(
             chunks, seg_tot, chunk_tot, overflow = fn(img_dev)
             words, seg_np = fetch_stitched(
                 chunks, seg_tot, chunk_tot, overflow,
-                spec_key=(ph, pw, config, "restart"),
+                spec_key=(ph, pw, config, is_rgb, "restart"),
             )
             if words is not None:
                 record_cap(key, cap)
@@ -675,7 +710,7 @@ def _encode_segment_device(image: np.ndarray, config: EncodeConfig) -> bytes:
             from . import native
 
             words, total_bits = fetch_stream_words(
-                out, count, overflowed, spec_key=(ph, pw, config)
+                out, count, overflowed, spec_key=(ph, pw, config, is_rgb)
             )
             if words is not None:
                 record_cap(key, cap)
@@ -793,7 +828,7 @@ def _encode_grayscale_optimized_device(
             from . import native
 
             words, total_bits = fetch_stream_words(
-                out, count, overflowed, spec_key=(ph, pw, config, "opt")
+                out, count, overflowed, spec_key=(ph, pw, config, is_rgb, "opt")
             )
             if words is not None:
                 record_cap(key, cap)
@@ -954,7 +989,7 @@ def _encode_grayscale_optimized_restart_device(
             chunks, seg_tot, chunk_tot, overflow = fn(img_dev, tabs)
             words, seg_np = fetch_stitched(
                 chunks, seg_tot, chunk_tot, overflow,
-                spec_key=(ph, pw, config, "restart-opt"),
+                spec_key=(ph, pw, config, is_rgb, "restart-opt"),
             )
             if words is not None:
                 record_cap(key, cap)
