@@ -118,6 +118,30 @@ def test_restart_stitched_overflow_ladder():
         assert pipeline._cap_history.get(key, [0])[0] == want_rung
 
 
+def test_restart_stitched_int32_bytes_equal_host_coder():
+    """The stitched restart path must hold byte parity in the
+    integer-exact mode too (the raw front half routes int32 through
+    the integer transform kernel)."""
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (96, 72), dtype=np.uint8)
+    for interval in (7, 54):
+        dev = encode_grayscale(
+            img,
+            EncodeConfig(
+                restart_interval=interval, entropy="device",
+                dct_dtype="int32",
+            ),
+        )
+        host = encode_grayscale(
+            img,
+            EncodeConfig(
+                restart_interval=interval, entropy="host",
+                dct_dtype="int32",
+            ),
+        )
+        assert dev == host, interval
+
+
 def test_restart_device_color_bytes_equal_host_coder():
     """Color device restart path: byte parity with the host coder across
     subsampling modes and ragged segment tails."""
