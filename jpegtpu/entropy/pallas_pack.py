@@ -35,14 +35,19 @@ SUBLANES = 8
 BLOCKS_PER_STEP = SUBLANES * LANES  # 1024
 
 # Huffman table lookup strategy inside the fused pack kernel:
-# "cascade" (default) = per-run-row serial select chains, "tree" =
-# balanced log-depth mux over run*11+size. Measured on silicon (12.19
-# MPix Q50, isolated pack-kernel chain-delta, 3 alternating runs):
-# cascade 0.97 ms vs tree 1.21 ms median — the tree's level-0 pairing
-# materializes 88 scalar-pair selects up front while the cascade's 16
-# row chains are independent and schedule tighter. Third negative
-# result for this lookup (dynamic gather lost too, commit 6825f7c);
-# the cascade stands as best known. Switch kept for re-measurement.
+# "cascade" (default) = per-run-row serial select chains; "tree" =
+# balanced log-depth mux over run*11+size; "split" = bit-packed
+# sub-tables + per-lane variable shifts (canonical code = base[len] +
+# rank, so only 4-bit lens / 8-bit ranks need per-entry storage — ~90
+# ops vs the cascade's ~192). Four shapes measured on silicon (12.19
+# MPix Q50, isolated pack-kernel runs): dynamic gather LOST (commit
+# 6825f7c), tree LOST (~+25%), split = parity with cascade WITHIN
+# NOISE despite half the op count — followed by a direct 16-chain
+# wall-clock A/B (42.35 vs 42.31 ms) showing the kernel is NOT
+# lookup-ALU-bound at all (the serial accumulator dependency chain
+# and per-step fixed costs dominate). The cascade stays default as
+# the simplest of the tied shapes; switches kept for re-measurement
+# on future toolchains.
 _HUFF_LOOKUP = os.environ.get("JPEGTPU_HUFF_LOOKUP", "cascade")
 
 
@@ -110,6 +115,66 @@ def _select_cascade(idx, consts):
     for k in range(1, len(consts)):
         out = jnp.where(idx == k, consts[k], out)
     return out
+
+
+def _split_tables(packed_flat):
+    """Decompose a flat canonical-Huffman packed table (entries
+    (code << 6) | len, code = base[len] + rank-within-length) into three
+    bit-packed word lists for the variable-shift lookup (_lookup_split):
+    len4 (4-bit entries, 8/word), rank8 (8-bit entries, 4/word),
+    base16 (16-bit base code per length 1..16, 2/word). Python ints in,
+    python ints out — evaluated at trace time."""
+    n = len(packed_flat)
+    lens = [int(p) & 63 for p in packed_flat]
+    codes = [int(p) >> 6 for p in packed_flat]
+    base = [0] * 17
+    for ln in range(1, 17):
+        cs = [c for c, l in zip(codes, lens) if l == ln]
+        base[ln] = min(cs) if cs else 0
+    ranks = [
+        (c - base[l]) if l > 0 else 0 for c, l in zip(codes, lens)
+    ]
+    assert all(0 <= r < 256 for r in ranks)
+    # 4-bit nibble holds len - 1 (1..15 for the len range 2..16 of
+    # baseline static tables), 0 = unused entry. Lengths of 1 cannot be
+    # encoded — callers gate on that (code_for uses this path only for
+    # the compile-time Annex-K tables, whose min AC code length is 2).
+    assert all(l == 0 or 2 <= l <= 16 for l in lens)
+    len4 = [0] * (-(-n // 8))
+    for i, l in enumerate(lens):
+        len4[i >> 3] |= (l - 1 if l else 0) << ((i & 7) * 4)
+    rank8 = [0] * (-(-n // 4))
+    for i, r in enumerate(ranks):
+        rank8[i >> 2] |= r << ((i & 3) * 8)
+    base16 = [0] * 8
+    for ln in range(1, 17):
+        base16[(ln - 1) >> 1] |= base[ln] << (((ln - 1) & 1) * 16)
+
+    def i32(w):  # two's-complement wrap: packed words may set bit 31
+        w &= 0xFFFFFFFF
+        return w - (1 << 32) if w >= (1 << 31) else w
+
+    return (
+        tuple(i32(w) for w in len4),
+        tuple(i32(w) for w in rank8),
+        tuple(i32(w) for w in base16),
+    )
+
+
+def _lookup_split(idx, len4, rank8, base16):
+    """packed[idx] via bit-packed sub-tables + per-lane variable shifts:
+    three short word cascades (22 + 44 + 8 selects for the 176-entry AC
+    table) replace the 176-select direct cascade — the lookup exploits
+    that canonical codes decompose as base[len] + rank, so only 4-bit
+    lens and 8-bit ranks need per-entry storage."""
+    lw = _select_cascade(idx >> 3, list(len4))
+    lm1 = (lw >> ((idx & 7) * 4)) & 15  # len - 1; 0 = unused entry
+    ln = jnp.where(lm1 > 0, lm1 + 1, 0)
+    rw = _select_cascade(idx >> 2, list(rank8))
+    rank = (rw >> ((idx & 3) * 8)) & 255
+    bw = _select_cascade(jnp.maximum(ln - 1, 0) >> 1, list(base16))
+    base = (bw >> (((ln - 1) & 1) * 16)) & 0xFFFF
+    return jnp.where(ln > 0, ((base + rank) << 6) | ln, 0)
 
 
 def _select_tree(idx, consts):
@@ -237,12 +302,15 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         return acc, cnt, widx, frame
 
     def code_for(run, size, packed):
-        """(run, size) -> packed (code << 6 | len) via the select
-        cascade (best known — see _HUFF_LOOKUP for the measured
-        alternatives: mux tree −25%, dynamic gather also lost)."""
+        """(run, size) -> packed (code << 6 | len) — see _HUFF_LOOKUP
+        for the measured strategy comparison."""
+        flat = [packed[r][s] for r in range(len(packed))
+                for s in range(11)]
+        if _HUFF_LOOKUP == "split" and all(
+            isinstance(p, (int, np.integer)) for p in flat
+        ):
+            return _lookup_split(run * 11 + size, *_split_tables(flat))
         if _HUFF_LOOKUP == "tree":
-            flat = [packed[r][s] for r in range(len(packed))
-                    for s in range(11)]
             return _select_tree(run * 11 + size, flat)
         out = jnp.zeros(shp, jnp.int32)
         for r in range(len(packed)):

@@ -37,6 +37,24 @@ def test_tree_scalar_entries():
     np.testing.assert_array_equal(out, np.array([[7, 9, 11, 9]] * 8))
 
 
+def test_split_tables_roundtrip():
+    """The bit-packed sub-table decomposition (canonical base[len] +
+    rank) must reproduce every entry of both static AC tables."""
+    import jax.numpy as jnp
+
+    for table in (0, 1):
+        ac = pp._kernel_tables(table)[1]
+        flat = [int(ac[r, s]) for r in range(16) for s in range(11)]
+        len4, rank8, base16 = pp._split_tables(flat)
+        idx = jnp.asarray(
+            np.arange(176, dtype=np.int32).reshape(11, 16)
+        )
+        got = np.asarray(
+            pp._lookup_split(idx, len4, rank8, base16)
+        ).reshape(-1)
+        np.testing.assert_array_equal(got, np.array(flat))
+
+
 def test_kernel_identical_under_both_lookups(monkeypatch):
     rng = np.random.default_rng(0)
     nb = 2048
@@ -48,7 +66,7 @@ def test_kernel_identical_under_both_lookups(monkeypatch):
     zz[1, 63] = -1023  # full-length block
     dcd = rng.integers(-2047, 2048, nb).astype(np.int32)
     outs = {}
-    for mode in ("cascade", "tree"):
+    for mode in ("cascade", "tree", "split"):
         monkeypatch.setattr(pp, "_HUFF_LOOKUP", mode)
         # the jit trace closes over _HUFF_LOOKUP at trace time
         pp.encode_blocks_pallas.clear_cache()
@@ -57,6 +75,7 @@ def test_kernel_identical_under_both_lookups(monkeypatch):
             interpret=True,
         )
         outs[mode] = (np.asarray(w), np.asarray(b), bool(ov))
-    np.testing.assert_array_equal(outs["tree"][0], outs["cascade"][0])
-    np.testing.assert_array_equal(outs["tree"][1], outs["cascade"][1])
-    assert outs["tree"][2] == outs["cascade"][2]
+    for mode in ("tree", "split"):
+        np.testing.assert_array_equal(outs[mode][0], outs["cascade"][0])
+        np.testing.assert_array_equal(outs[mode][1], outs["cascade"][1])
+        assert outs[mode][2] == outs["cascade"][2]
