@@ -286,16 +286,17 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         msb = jnp.where(ln > 0, val << jnp.clip(32 - ln, 0, 31).astype(jnp.uint32), 0)
         e0 = msb >> s
         e1 = jnp.where(nzc, msb << t, 0)
-        acc = (acc[0] | e0, acc[1] | e1, acc[2], acc[3])
+        # 2-word accumulator window: one append adds <= 32 bits to a
+        # residue < 32, so the live window never exceeds 64 bits (the
+        # 4-word window of _pack_kernel is for its 96-bit elements).
+        acc = (acc[0] | e0, acc[1] | e1)
         cnt = cnt + ln
         m = cnt >= 32
         word = jnp.where(m, acc[0], 0)
         frame = tuple(frame[j] | jnp.where(widx == j, word, 0) for j in range(cap))
         acc = (
             jnp.where(m, acc[1], acc[0]),
-            jnp.where(m, acc[2], acc[1]),
-            jnp.where(m, acc[3], acc[2]),
-            jnp.where(m, zero_u, acc[3]),
+            jnp.where(m, zero_u, acc[1]),
         )
         widx = widx + m.astype(jnp.int32)
         cnt = cnt - 32 * m.astype(jnp.int32)
@@ -331,7 +332,7 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
     dcode = (dpk >> 6).astype(jnp.uint32)
     dlen = dpk & 63
     state = (
-        (zero_u, zero_u, zero_u, zero_u),
+        (zero_u, zero_u),
         jnp.zeros(shp, jnp.int32),
         jnp.zeros(shp, jnp.int32),
         tuple(zero_u for _ in range(cap)),
