@@ -269,19 +269,29 @@ def test_int32_batch_on_silicon_equals_singles():
         assert o == pipeline.encode_grayscale(im, cfg)
 
 
-def test_treepack_fallback_on_silicon(monkeypatch):
-    """Images past the VMEM budget take the XLA treepack concat instead
-    of the Pallas streaming concat (pipeline._gray_encode_body_raw's
-    fits_vmem branch) — force that branch on a small image and assert
-    byte parity, so the large-image path is hardware-verified too."""
+@pytest.mark.parametrize("forced_mode", ["pallas-chunked", "treepack-fallback"])
+def test_concat_fallback_modes_on_silicon(monkeypatch, forced_mode):
+    """Images past the VMEM budget take the chunked Pallas concat, and
+    geometries past even that take the XLA treepack tree
+    (pallas_concat.concat_mode) — force each branch on a small image
+    and assert byte parity, so both large-image paths are
+    hardware-verified. The chunked case pins rg_per_chunk to 1 so the
+    multi-chunk split + device OR-combine actually exercises."""
     from jpegtpu.entropy import pallas_concat
     from jpegtpu.entropy import host as entropy_host
     from jpegtpu.io import jfif
 
     monkeypatch.setattr(
-        pallas_concat, "fits_vmem", lambda *a, **k: False
+        pallas_concat, "concat_mode", lambda *a, **k: forced_mode
     )
-    img = _gray(104, 128, seed=60)
+    if forced_mode == "pallas-chunked":
+        monkeypatch.setattr(
+            pallas_concat, "chunk_plan", lambda *a, **k: 1
+        )
+    # distinct geometry per mode: the jitted encode is lru-cached on
+    # (shape, cfg), and a cached trace would bypass the forced branch
+    img = _gray(104 if forced_mode == "treepack-fallback" else 112,
+                128, seed=60)
     cfg = EncodeConfig()
     dev = pipeline.encode_grayscale(img, cfg)
     zz = pipeline.grayscale_coefficients(img, cfg)
