@@ -46,6 +46,13 @@ img = (np.arange(128 * 64, dtype=np.int64).reshape(128, 64) * 7 % 256).astype(
 )
 gray = sharding.encode_grayscale_sharded(img, EncodeConfig(), mesh=mesh)
 
+# 2-pass optimal sharded encode across BOTH processes: psum'd global
+# histograms over the mesh -> every host derives identical tables, so
+# the assembled streams must match host-for-host like the standard ones
+gray_opt = sharding.encode_grayscale_sharded(
+    img, EncodeConfig(optimize_huffman=True), mesh=mesh
+)
+
 from jpegtpu import color_pipeline  # noqa: E402
 
 cimg = np.stack([img, img[::-1], img[:, ::-1]], axis=-1)
@@ -57,6 +64,8 @@ color = color_pipeline.encode_color_sharded(
 # one that persists it (both write here so the test can diff them).
 with open(f"{out}.gray.p{pid}", "wb") as f:
     f.write(gray)
+with open(f"{out}.grayopt.p{pid}", "wb") as f:
+    f.write(gray_opt)
 with open(f"{out}.color.p{pid}", "wb") as f:
     f.write(color)
 print("WORKER_OK", pid)

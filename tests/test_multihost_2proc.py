@@ -48,10 +48,24 @@ def test_two_process_sharded_encode(tmp_path):
         assert f"WORKER_OK {pid}" in log
 
     gray = [(out.parent / f"{out.name}.gray.p{pid}").read_bytes() for pid in (0, 1)]
+    gray_opt = [
+        (out.parent / f"{out.name}.grayopt.p{pid}").read_bytes()
+        for pid in (0, 1)
+    ]
     color = [(out.parent / f"{out.name}.color.p{pid}").read_bytes() for pid in (0, 1)]
     # every host assembles the identical full stream
     assert gray[0] == gray[1]
+    assert gray_opt[0] == gray_opt[1]
     assert color[0] == color[1]
+    # optimal tables must actually optimize (and still decode the same)
+    assert len(gray_opt[0]) < len(gray[0])
+    import io
+
+    from PIL import Image
+
+    a = np.asarray(Image.open(io.BytesIO(gray_opt[0])))
+    b = np.asarray(Image.open(io.BytesIO(gray[0])))
+    np.testing.assert_array_equal(a, b)
 
     # pin the gray stream to the single-process host coder (restart
     # interval = MCUs per shard on the 8-way mesh)
