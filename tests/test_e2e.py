@@ -166,6 +166,32 @@ def test_restart_device_color_bytes_equal_host_coder():
             assert dev == host, (ss, interval)
 
 
+def test_color_restart_stitched_int32_bytes_equal_host_coder():
+    """Color stitched restart path under the integer-exact mode: byte
+    parity with the host coder (420 covers the interleaved MCU merge +
+    per-component DC resets on the int32 transform)."""
+    from jpegtpu import color_pipeline
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (72, 56, 3), dtype=np.uint8)
+    for ss in ("420", "444"):
+        dev = color_pipeline.encode_color(
+            img,
+            EncodeConfig(
+                subsampling=ss, restart_interval=3, entropy="device",
+                dct_dtype="int32",
+            ),
+        )
+        host = color_pipeline.encode_color(
+            img,
+            EncodeConfig(
+                subsampling=ss, restart_interval=3, entropy="host",
+                dct_dtype="int32",
+            ),
+        )
+        assert dev == host, ss
+
+
 def test_pad_ones_still_decodes():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
