@@ -543,6 +543,18 @@ def main():
         assert d8[:2] == b"\xff\xd8"
         t8, _ = _timeit(gray8_finish, reps8, best=True)
         results["gray_8k_e2e_mpix_s"] = round(mpix8 / t8, 2)
+        # compute tier at 8K: the driver-visible proof the chunked
+        # concat holds the 12 MPix per-MPix rate (e2e above is mostly
+        # tunnel transport at this size)
+        t8_ms = _chain_compute_ms(
+            lambda im: pipeline.gray_encode_body(
+                im, cfg, False, cfg.capacity_words_per_block, False
+            ),
+            img8_dev, max(3, reps8), k=4,
+        )
+        results["gray_8k_compute_mpix_s"] = round(
+            mpix8 / (t8_ms / 1000), 2
+        )
         results["gray_8k_concat"] = pipeline.gray_concat_mode(
             ph8, pw8, cfg.capacity_words_per_block
         )
