@@ -548,7 +548,8 @@ def main():
         # tunnel transport at this size)
         t8_ms = _chain_compute_ms(
             lambda im: pipeline.gray_encode_body(
-                im, cfg, False, cfg.capacity_words_per_block, False
+                im, cfg, False, cfg.capacity_words_per_block,
+                not host_stuff,  # same pipeline as gray_compute row
             ),
             img8_dev, max(3, reps8), k=4,
         )

@@ -117,6 +117,7 @@ def _select_cascade(idx, consts):
     return out
 
 
+@functools.lru_cache(maxsize=8)
 def _split_tables(packed_flat):
     """Decompose a flat canonical-Huffman packed table (entries
     (code << 6) | len, code = base[len] + rank-within-length) into three
@@ -305,14 +306,18 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
     def code_for(run, size, packed):
         """(run, size) -> packed (code << 6 | len) — see _HUFF_LOOKUP
         for the measured strategy comparison."""
-        flat = [packed[r][s] for r in range(len(packed))
-                for s in range(11)]
-        if _HUFF_LOOKUP == "split" and all(
-            isinstance(p, (int, np.integer)) for p in flat
-        ):
-            return _lookup_split(run * 11 + size, *_split_tables(flat))
-        if _HUFF_LOOKUP == "tree":
-            return _select_tree(run * 11 + size, flat)
+        if _HUFF_LOOKUP != "cascade":
+            flat = [packed[r][s] for r in range(len(packed))
+                    for s in range(11)]
+            if _HUFF_LOOKUP == "split" and all(
+                isinstance(p, (int, np.integer)) for p in flat
+            ):
+                return _lookup_split(
+                    run * 11 + size,
+                    *_split_tables(tuple(int(p) for p in flat)),
+                )
+            if _HUFF_LOOKUP == "tree":
+                return _select_tree(run * 11 + size, flat)
         out = jnp.zeros(shp, jnp.int32)
         for r in range(len(packed)):
             row = _select_cascade(size, list(packed[r]))
@@ -337,7 +342,8 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         jnp.zeros(shp, jnp.int32),
         tuple(zero_u for _ in range(cap)),
     )
-    # code||amplitude fused into one append (<= 11 + 11 = 22 bits): one
+    # code||amplitude fused into one append (worst case 16-bit runtime
+    # optimal DC code + 11 amplitude bits = 27 <= 32): one
     # accumulator/retire pass instead of two.
     state = append(
         state, (dcode << dsize.astype(jnp.uint32)) | damp, dlen + dsize
@@ -363,7 +369,9 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         size = size_of(mag)
         acc_run = run
         if max_zrl >= 2:
-            # two ZRLs fused into one append (22 bits)
+            # two ZRLs fused into one append — worst case 2 x 16-bit
+            # runtime optimal ZRL codes = exactly 32 bits, the 2-word
+            # accumulator window's ceiling (append() invariant)
             two = nz & (acc_run >= 32)
             one = nz & (acc_run >= 16) & ~two
             state = append(

@@ -44,7 +44,7 @@ def test_split_tables_roundtrip():
 
     for table in (0, 1):
         ac = pp._kernel_tables(table)[1]
-        flat = [int(ac[r, s]) for r in range(16) for s in range(11)]
+        flat = tuple(int(ac[r, s]) for r in range(16) for s in range(11))
         len4, rank8, base16 = pp._split_tables(flat)
         idx = jnp.asarray(
             np.arange(176, dtype=np.int32).reshape(11, 16)

@@ -288,8 +288,10 @@ def test_concat_fallback_modes_on_silicon(monkeypatch, forced_mode):
         monkeypatch.setattr(
             pallas_concat, "chunk_plan", lambda *a, **k: 1
         )
-    # distinct geometry per mode: the jitted encode is lru-cached on
-    # (shape, cfg), and a cached trace would bypass the forced branch
+    # the jitted encode is lru-cached on (shape, cfg); a cached trace
+    # from any earlier encode of this geometry would bypass the forced
+    # branch and make the test vacuous
+    pipeline._encode_gray_device.cache_clear()
     img = _gray(104 if forced_mode == "treepack-fallback" else 112,
                 128, seed=60)
     cfg = EncodeConfig()

@@ -32,8 +32,12 @@ def chain_ms(body, img_dev, reps=7, k=4):
         @jax.jit
         def fn(img):
             tot = jnp.float32(0)
-            for i in range(n):
-                tot = tot + body(img ^ jnp.uint8(i))
+            for _ in range(n):
+                # serialize: each encode's input depends on the previous
+                # result, so XLA cannot overlap encodes inside the chain
+                # (same guard as bench._chain_compute_ms)
+                pert = (tot.astype(jnp.int32) & 1).astype(img.dtype)
+                tot = tot + body(img ^ pert)
             return tot
 
         return fn
