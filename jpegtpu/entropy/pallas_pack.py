@@ -50,6 +50,15 @@ BLOCKS_PER_STEP = SUBLANES * LANES  # 1024
 # on future toolchains.
 _HUFF_LOOKUP = os.environ.get("JPEGTPU_HUFF_LOOKUP", "cascade")
 
+# Experimental two-half ILP pack loop (JPEGTPU_PACK_SPLIT=1): the AC walk
+# splits into INDEPENDENT dependency chains over [1,16) and [16,kmax) —
+# half B seeded by a trailing-zero prologue computed straight from zz —
+# each packing its own frame, joined by one in-register funnel merge.
+# Targets the serial accumulator chain the attempt-#4 diagnosis (see
+# _HUFF_LOOKUP) identified as the kernel's bound. Byte-parity-tested;
+# default OFF pending a measured win (BENCH_NOTES round 5).
+_PACK_SPLIT = os.environ.get("JPEGTPU_PACK_SPLIT", "0") == "1"
+
 
 def _pack_kernel(w_ref, l_ref, out_ref, bits_ref, *, cap: int, n_elem: int):
     """w_ref [n_elem, 3, 8, 128] u32, l_ref [n_elem, 8, 128] i32,
@@ -416,30 +425,100 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
         kmax_vec = jnp.where(zz_ref[k] != 0, k, kmax_vec)
     kk = jnp.max(kmax_vec) + 1  # loop bound: elements [1, kk)
 
-    carry = (state, jnp.zeros(shp, jnp.int32))
-    for lo, hi, mz in ((1, 17, 0), (17, 33, 1), (33, 49, 2), (49, 64, 3)):
-        carry = jax.lax.fori_loop(
-            jnp.minimum(lo, kk), jnp.minimum(hi, kk),
-            lambda k, c, mz=mz: body(k, c, mz), carry,
+    def flush(state):
+        acc, cnt, widx, frame = state
+        partial = jnp.where(cnt > 0, acc[0], 0)
+        frame = tuple(
+            frame[j] | jnp.where(widx == j, partial, 0) for j in range(cap)
         )
-    state, run = carry
+        return frame, widx * 32 + cnt
 
-    # EOB iff the block's tail is zero: run counts zeros since the last
-    # nonzero WITHIN the truncated range; elements [kk, 64) are zero in
-    # every lane, so any lane ends in zeros whenever kk < 64 as well.
-    eobm = (run > 0) | (kk < 64)
-    state = append(
-        state,
+    if not _PACK_SPLIT:
+        carry = (state, jnp.zeros(shp, jnp.int32))
+        for lo, hi, mz in ((1, 17, 0), (17, 33, 1), (33, 49, 2),
+                           (49, 64, 3)):
+            carry = jax.lax.fori_loop(
+                jnp.minimum(lo, kk), jnp.minimum(hi, kk),
+                lambda k, c, mz=mz: body(k, c, mz), carry,
+            )
+        state, run = carry
+
+        # EOB iff the block's tail is zero: run counts zeros since the
+        # last nonzero WITHIN the truncated range; elements [kk, 64) are
+        # zero in every lane, so any lane ends in zeros whenever kk < 64
+        # as well.
+        eobm = (run > 0) | (kk < 64)
+        state = append(
+            state,
+            jnp.where(eobm, jnp.uint32(0) + jnp.uint32(eob_code), 0),
+            jnp.where(eobm, jnp.int32(0) + eob_len, 0),
+        )
+        frame, bits = flush(state)
+        for j in range(cap):
+            out_ref[j] = frame[j]
+        bits_ref[0] = bits
+        return
+
+    # ---- two-half ILP variant (_PACK_SPLIT) ----
+    split = 16
+    # Half B's seed run = trailing-zero count of elements [1, split),
+    # computed straight from zz so the halves stay independent (reading
+    # half A's loop carry would re-serialize them).
+    tzc = jnp.zeros(shp, jnp.int32)
+    alive = jnp.full(shp, True)
+    for k in range(split - 1, 0, -1):
+        z = zz_ref[k] == 0
+        tzc = jnp.where(alive & z, tzc + 1, tzc)
+        alive = alive & z
+
+    carry_a = (state, jnp.zeros(shp, jnp.int32))
+    carry_a = jax.lax.fori_loop(
+        jnp.minimum(1, kk), jnp.minimum(split, kk),
+        lambda k, c: body(k, c, 0), carry_a,
+    )
+    state_b = (
+        (zero_u, zero_u),
+        jnp.zeros(shp, jnp.int32),
+        jnp.zeros(shp, jnp.int32),
+        tuple(zero_u for _ in range(cap)),
+    )
+    carry_b = (state_b, tzc)
+    # max_zrl per piece: B's run <= 15 (seed) + in-piece zeros
+    for lo, hi, mz in ((split, 33, 1), (33, 49, 2), (49, 64, 3)):
+        carry_b = jax.lax.fori_loop(
+            jnp.minimum(lo, kk), jnp.minimum(hi, kk),
+            lambda k, c, mz=mz: body(k, c, mz), carry_b,
+        )
+    state_a, _run_a = carry_a
+    state_b, run_b = carry_b
+    # EOB (the stream's last symbol -> half B). When kk <= split the B
+    # loops are empty and run_b == tzc; kk < 64 then forces the marker,
+    # matching the serial path's (run > 0) | (kk < 64).
+    eobm = (run_b > 0) | (kk < 64)
+    state_b = append(
+        state_b,
         jnp.where(eobm, jnp.uint32(0) + jnp.uint32(eob_code), 0),
         jnp.where(eobm, jnp.int32(0) + eob_len, 0),
     )
-
-    acc, cnt, widx, frame = state
-    partial = jnp.where(cnt > 0, acc[0], 0)
-    frame = tuple(frame[j] | jnp.where(widx == j, partial, 0) for j in range(cap))
+    frame_a, bits_a = flush(state_a)
+    frame_b, bits_b = flush(state_b)
+    # funnel-deposit half B's frame at bit offset bits_a of half A's:
+    # bit-disjoint by construction (A's partial word is zero below its
+    # residue), so OR == concatenation.
+    r = jnp.bitwise_and(bits_a, 31).astype(jnp.uint32)
+    t32 = jnp.clip(32 - (bits_a & 31), 0, 31).astype(jnp.uint32)
+    rz = (bits_a & 31) == 0
+    base = bits_a >> 5
+    out = list(frame_a)
+    for j in range(cap + 1):
+        cur = frame_b[j] if j < cap else zero_u
+        prv = frame_b[j - 1] if j >= 1 else zero_u
+        v = jnp.where(rz, cur, (cur >> r) | (prv << t32))
+        for p in range(j, cap):
+            out[p] = out[p] | jnp.where(base == p - j, v, 0)
     for j in range(cap):
-        out_ref[j] = frame[j]
-    bits_ref[0] = widx * 32 + cnt
+        out_ref[j] = out[j]
+    bits_ref[0] = bits_a + bits_b
 
 
 @functools.lru_cache(maxsize=2)
