@@ -224,6 +224,15 @@ def _merge_kernel_skew(w_ref, b_ref, out_ref, *, cap: int,
         out_ref[s] = acc
 
 
+# COMPILED backends use the skew-deposit merge for EVERY cap: measured
+# faster at cap 8 too on silicon — 16-chain minima 32.47 -> 31.66 ms
+# (ws=128, the single-image merge, ~0.05 ms/encode) and 27.7 -> 25.9 ms
+# (ws=32, the batch slot merge), byte parity exact in both. The wide
+# one-hot deposit's [128, SR*128] mask materialization loses to the 2D
+# skew even at SR=9. INTERPRET mode (the CPU suite) keeps the wide
+# kernel below this cap: the skew traces ~2 s slower per geometry,
+# which doubled test_batch's wall time; the skew-at-small-cap path
+# stays silicon-verified by tests/test_tpu_parity.py instead.
 _SKEW_MIN_CAP = 24
 
 
@@ -241,14 +250,15 @@ def merge_sublanes_pallas(w_raw, b_raw, ws: int = LANES,
     nc = LANES // ws
     cr = -(-(ws * cap + cap + 2) // LANES)
     sr = nc * cr if nc > 1 else cap + 1
+    skew = (not interpret) or cap >= _SKEW_MIN_CAP
     if nc > 1:
         kern = functools.partial(
-            _merge_kernel_skew if cap >= _SKEW_MIN_CAP else _merge_kernel,
+            _merge_kernel_skew if skew else _merge_kernel,
             cap=cap, ws=ws,
         )
     else:
         kern = functools.partial(
-            _merge_kernel_skew if cap >= _SKEW_MIN_CAP else _merge_kernel,
+            _merge_kernel_skew if skew else _merge_kernel,
             cap=cap,
         )
     return pl.pallas_call(
