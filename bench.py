@@ -85,8 +85,11 @@ def _chain_compute_ms(body, img_dev, reps, k=6):
 
     f1, fk = chain(1), chain(k)
     jax.device_get((f1(img_dev), fk(img_dev)))  # compile + warm both
-    t1, _ = _timeit(lambda: jax.device_get(f1(img_dev)), reps)
-    tk, _ = _timeit(lambda: jax.device_get(fk(img_dev)), reps)
+    # best=True: the tunnel injects one-sided multi-ms dispatch spikes,
+    # and this estimator SUBTRACTS two samples — min-of-N pairs are the
+    # only stable choice (BENCH_NOTES round-5 attribution note)
+    t1, _ = _timeit(lambda: jax.device_get(f1(img_dev)), reps, best=True)
+    tk, _ = _timeit(lambda: jax.device_get(fk(img_dev)), reps, best=True)
     return max((tk - t1) / (k - 1), 1e-9) * 1000
 
 
