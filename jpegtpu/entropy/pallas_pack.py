@@ -510,8 +510,11 @@ def _encode_kernel(zz_ref, dcd_ref, out_ref, bits_ref, *, cap: int,
     rz = (bits_a & 31) == 0
     base = bits_a >> 5
     out = list(frame_a)
-    for j in range(cap + 1):
-        cur = frame_b[j] if j < cap else zero_u
+    # no j == cap spill iteration: its deposit targets word base + cap
+    # >= cap, past the frame — unlike _merge_kernel, whose accumulating
+    # offsets keep that extra funnel window live
+    for j in range(cap):
+        cur = frame_b[j]
         prv = frame_b[j - 1] if j >= 1 else zero_u
         v = jnp.where(rz, cur, (cur >> r) | (prv << t32))
         for p in range(j, cap):

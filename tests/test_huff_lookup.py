@@ -75,6 +75,9 @@ def test_kernel_identical_under_both_lookups(monkeypatch):
             interpret=True,
         )
         outs[mode] = (np.asarray(w), np.asarray(b), bool(ov))
+    # drop the non-default traces: the jit cache keys on signature, not
+    # on _HUFF_LOOKUP, and the loop ends on "split"
+    pp.encode_blocks_pallas.clear_cache()
     for mode in ("tree", "split"):
         np.testing.assert_array_equal(outs[mode][0], outs["cascade"][0])
         np.testing.assert_array_equal(outs[mode][1], outs["cascade"][1])

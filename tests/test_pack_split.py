@@ -15,6 +15,15 @@ import jax.numpy as jnp
 from jpegtpu.entropy import pallas_pack as pp
 
 
+@pytest.fixture(autouse=True)
+def _clean_jit_cache():
+    """The jit cache keys on call signature, not on _PACK_SPLIT — drop
+    split-traced entries so later tests in this worker get the default
+    serial trace back."""
+    yield
+    pp.encode_blocks_pallas.clear_cache()
+
+
 @pytest.fixture
 def tricky_blocks():
     rng = np.random.default_rng(2)

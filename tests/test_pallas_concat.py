@@ -116,6 +116,47 @@ def test_merge_sublanes_matches_reference(cap):
     np.testing.assert_array_equal(segs, _merge_ref(w, b))
 
 
+@pytest.mark.parametrize("ws", [128, 32])
+def test_merge_sublanes_skew_small_cap(monkeypatch, ws):
+    """Compiled backends use the SKEW deposit at every cap (the
+    interpret-mode suite keeps the wide kernel below cap 24 only for
+    trace speed) — force the skew here at cap 8 so the kernel
+    production actually runs at small caps has interpret coverage too,
+    for both the single-segment and chunked-row (batch ws<128)
+    layouts."""
+    monkeypatch.setattr(pallas_concat, "_SKEW_MIN_CAP", 0)
+    pallas_concat.merge_sublanes_pallas.clear_cache()
+    cap = 8
+    rng = np.random.default_rng(99)
+    g = 2
+    b = rng.integers(0, cap * 32 + 1, (g, 8, 128)).astype(np.int32)
+    b[0, 0, :] = 0
+    b[0, 1, :3] = [cap * 32, 0, 17]
+    w = rng.integers(0, 1 << 32, (g, cap, 8, 128), dtype=np.uint64).astype(
+        np.uint32
+    )
+    for j in range(cap):
+        lo = np.maximum(0, np.minimum(32, b - 32 * j)).astype(np.uint32)
+        mask = np.where(
+            lo == 0, 0, (0xFFFFFFFF << (32 - lo)) & 0xFFFFFFFF
+        ).astype(np.uint32)
+        w[:, j] &= mask
+    skew = np.asarray(
+        pallas_concat.merge_sublanes_pallas(
+            jnp.asarray(w), jnp.asarray(b), ws=ws, interpret=True
+        )
+    )
+    monkeypatch.setattr(pallas_concat, "_SKEW_MIN_CAP", 24)
+    pallas_concat.merge_sublanes_pallas.clear_cache()
+    wide = np.asarray(
+        pallas_concat.merge_sublanes_pallas(
+            jnp.asarray(w), jnp.asarray(b), ws=ws, interpret=True
+        )
+    )
+    pallas_concat.merge_sublanes_pallas.clear_cache()
+    np.testing.assert_array_equal(skew, wide)
+
+
 def test_fits_vmem_gate():
     # 12 MPix gray (378x504 blocks) fits; a 100 MPix image must not.
     assert pallas_concat.fits_vmem(384, 512, 8, 4)
