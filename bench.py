@@ -59,38 +59,48 @@ def make_image(h: int, w: int, color: bool = False):
 def _chain_compute_ms(body, img_dev, reps, k=6):
     """Pure device-compute time of one encode, dispatch-floor-free.
 
-    The tunneled transport adds a fixed ~30 ms per dispatch, so a single
-    program's wall time badly overstates small kernels. Chain K encodes
-    inside ONE program and take (t_K - t_1) / (K - 1): the floor cancels.
-    Two traps guarded here: every output (including the packed stream)
-    feeds the returned scalar, so XLA cannot dead-code-eliminate the
-    concat; and each encode's input depends on the previous encode's
-    result, so the chain is strictly serial (no cross-encode overlap).
+    The tunneled transport adds a fixed ~25-37 ms per dispatch, so a
+    single program's wall time badly overstates small kernels. Chain K
+    encodes inside ONE program and subtract a NOP chain of the same
+    shape (same dispatch, same serialization structure, trivial body):
+    (min t_K - min t_nop) / K. Earlier estimators subtracted two
+    nearly-equal dispatch-dominated quantities — (t_K - t_1)/(K-1) with
+    medians OR mins — and both produced physically impossible outliers
+    (16.4 and 17.4 GPix/s for color vs gray's 8 at 1.5x the work); the
+    floor-referenced form measured stable to ~0.05 ms across 40
+    repetitions (BENCH_NOTES round-5 attribution note).
+
+    Two DCE traps guarded: every output (including the packed stream)
+    feeds the returned scalar, and each encode's input depends on the
+    previous result so the chain is strictly serial.
     """
     import jax
     import jax.numpy as jnp
 
-    def chain(n):
+    def chain(n, real=True):
         @jax.jit
         def fn(img):
             total = jnp.uint32(0)
             for _ in range(n):
-                words, count, _ = body(img ^ (total & 1).astype(img.dtype))
-                total = total + count.astype(jnp.uint32) + jnp.sum(
-                    words.astype(jnp.uint32)
-                )
+                x = img ^ (total & 1).astype(img.dtype)
+                if real:
+                    words, count, _ = body(x)
+                    total = total + count.astype(jnp.uint32) + jnp.sum(
+                        words.astype(jnp.uint32)
+                    )
+                else:
+                    total = total + jnp.sum(
+                        jnp.ravel(x)[:128].astype(jnp.uint32)
+                    )
             return total
 
         return fn
 
-    f1, fk = chain(1), chain(k)
-    jax.device_get((f1(img_dev), fk(img_dev)))  # compile + warm both
-    # best=True: the tunnel injects one-sided multi-ms dispatch spikes,
-    # and this estimator SUBTRACTS two samples — min-of-N pairs are the
-    # only stable choice (BENCH_NOTES round-5 attribution note)
-    t1, _ = _timeit(lambda: jax.device_get(f1(img_dev)), reps, best=True)
+    fk, f0 = chain(k), chain(k, real=False)
+    jax.device_get((fk(img_dev), f0(img_dev)))  # compile + warm both
     tk, _ = _timeit(lambda: jax.device_get(fk(img_dev)), reps, best=True)
-    return max((tk - t1) / (k - 1), 1e-9) * 1000
+    t0, _ = _timeit(lambda: jax.device_get(f0(img_dev)), reps, best=True)
+    return max((tk - t0) / k, 1e-9) * 1000
 
 
 def _timeit(fn, reps, best=False):
